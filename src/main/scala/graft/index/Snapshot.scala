@@ -1,0 +1,146 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot manifest for an index generation.
+  *
+  * Plays the role of the reference's blue/green alias swap
+  * (datastore/elastic_search/transfer.py:17-123 + the alias at
+  * datastore/datastore.py:152-185): readers resolve `meta/current` → vN,
+  * writers build generation N+1 in fresh directories and atomically move the
+  * pointer. Shaped like an Iceberg snapshot (metadata JSON + pointer file) so
+  * a real catalog could replace it; no Iceberg jar ships in this sandbox.
+  */
+final case class SnapshotMeta(
+    version: Int,
+    numDocs: Long,
+    avgDocLen: Double,
+    numBuckets: Int,
+    saltThreshold: Long,
+    maxSalts: Int,
+    k1: Double,
+    b: Double,
+    corpusFingerprint: Long,
+    hotTerms: Map[String, Int]) {
+
+  def docsDir(indexDir: String) = s"$indexDir/v$version/docs"
+  def segmentsDir(indexDir: String) = s"$indexDir/v$version/segments"
+  def dictDir(indexDir: String) = s"$indexDir/v$version/dict"
+  def lineageDir(indexDir: String) = s"$indexDir/v$version/lineage"
+
+  def toJson: String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val hot = hotTerms.toSeq.sortBy(_._1)
+      .map { case (t, s) => s"${q(t)}:$s" }.mkString("{", ",", "}")
+    s"""{"version":$version,"numDocs":$numDocs,"avgDocLen":$avgDocLen,""" +
+      s""""numBuckets":$numBuckets,"saltThreshold":$saltThreshold,""" +
+      s""""maxSalts":$maxSalts,"k1":$k1,"b":$b,""" +
+      s""""corpusFingerprint":$corpusFingerprint,"hotTerms":$hot}"""
+  }
+}
+
+object Snapshot {
+
+  private def metaDir(indexDir: String): Path = Paths.get(indexDir, "meta")
+
+  /** Write vN metadata and atomically swap the `current` pointer. */
+  def commit(indexDir: String, meta: SnapshotMeta): Unit = {
+    val dir = metaDir(indexDir)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(s"v${meta.version}.json"),
+      meta.toJson.getBytes(StandardCharsets.UTF_8))
+    val tmp = dir.resolve("current.tmp")
+    Files.write(tmp, s"v${meta.version}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion(indexDir: String): Option[Int] = {
+    val p = metaDir(indexDir).resolve("current")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.stripPrefix("v").toInt)
+  }
+
+  def load(indexDir: String): Option[SnapshotMeta] = currentVersion(indexDir).map { v =>
+    val p = metaDir(indexDir).resolve(s"v$v.json")
+    parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Minimal JSON parse for our own manifests (flat object + one string→int
+    * map). Avoids any external JSON dependency (offline build).
+    */
+  private[index] def parse(json: String): SnapshotMeta = {
+    def field(name: String): String = {
+      val key = "\"" + name + "\":"
+      val i = json.indexOf(key)
+      require(i >= 0, s"missing $name in manifest")
+      val start = i + key.length
+      var j = start
+      var depth = 0
+      var inStr = false
+      var esc = false
+      while (j < json.length && {
+        val c = json.charAt(j)
+        if (esc) { esc = false; true }
+        else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false; true }
+        else if (c == '"') { inStr = true; true }
+        else if (c == '{' || c == '[') { depth += 1; true }
+        else if (c == '}' || c == ']') { if (depth == 0) false else { depth -= 1; true } }
+        else !(c == ',' && depth == 0)
+      }) j += 1
+      json.substring(start, j)
+    }
+    def unq(s: String): String = {
+      val t = s.trim.stripPrefix("\"").stripSuffix("\"")
+      val sb = new StringBuilder
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c == '\\' && i + 1 < t.length) {
+          t.charAt(i + 1) match {
+            case '"' => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case 'u' => sb += Integer.parseInt(t.substring(i + 2, i + 6), 16).toChar; i += 6
+            case other => sb += other; i += 2
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    }
+    val hotStr = field("hotTerms").trim.stripPrefix("{").stripSuffix("}")
+    val hot: Map[String, Int] =
+      if (hotStr.isEmpty) Map.empty
+      else hotStr.split(",(?=\")").iterator.map { kv =>
+        val colon = kv.lastIndexOf(':')
+        unq(kv.substring(0, colon)) -> kv.substring(colon + 1).trim.toInt
+      }.toMap
+    SnapshotMeta(
+      version = field("version").trim.toInt,
+      numDocs = field("numDocs").trim.toLong,
+      avgDocLen = field("avgDocLen").trim.toDouble,
+      numBuckets = field("numBuckets").trim.toInt,
+      saltThreshold = field("saltThreshold").trim.toLong,
+      maxSalts = field("maxSalts").trim.toInt,
+      k1 = field("k1").trim.toDouble,
+      b = field("b").trim.toDouble,
+      corpusFingerprint = field("corpusFingerprint").trim.toLong,
+      hotTerms = hot)
+  }
+
+  def listVersions(indexDir: String): Seq[Int] = {
+    val dir = metaDir(indexDir)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq.sorted
+  }
+}

@@ -1,0 +1,154 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.corpus.CodeCorpus
+import graft.query.{Hit, Searcher}
+
+/** End-to-end engine parity: build a real index over the synthetic corpus,
+  * then assert block-max WAND results are rank-identical (docIDs AND scores)
+  * to the exact distributed scorer — the in-repo oracle standing in for the
+  * reference engine (BASELINE.md correctness gates). Plus: determinism
+  * across physical layouts, explicit salting engagement, per-row sha256
+  * invariant, snapshot pointer swap, stage-level resume.
+  */
+class EngineSpec extends SparkTestBase {
+
+  private val nDocs = 3000L
+  private lazy val indexDir = {
+    val dir = tmpDir("graft-index")
+    // saltThreshold low enough that `import`/`def` (present in nearly every
+    // doc) get salted — exercising the skew path at test scale
+    IndexBuilder.build(
+      CodeCorpus.generate(spark, nDocs, seed = 42L),
+      dir,
+      IndexConfig(numBuckets = 8, saltThreshold = 500L, maxSalts = 8))
+    dir
+  }
+
+  // the reference query set for rank parity (hot terms, phrases, rare,
+  // mixed hot+rare, stems, no-hit)
+  private val querySet = Seq(
+    "import", "def", "import spark", "import def val class",
+    "posting merge", "snapshot manifest reader", "parser",
+    "the runner runs quickly", "importing definitions",
+    "scorer ranker codec", "zzz_does_not_exist", "builder5 cache")
+
+  test("index builds and manifest is sane") {
+    val meta = Snapshot.load(indexDir).get
+    assert(meta.numDocs == nDocs)
+    assert(meta.avgDocLen > 10)
+    assert(meta.hotTerms.nonEmpty, "expected salted hot terms at this threshold")
+    assert(meta.hotTerms.contains("import") && meta.hotTerms.contains("def"))
+    assert(meta.hotTerms.values.forall(s => s >= 2 && (s & (s - 1)) == 0))
+  }
+
+  test("WAND top-k is rank-identical to the exact oracle (docIds AND scores)") {
+    for (q <- querySet; k <- Seq(1, 10, 100)) {
+      val rq = Searcher.resolve(spark, indexDir, q)
+      val wand = Searcher.searchHits(spark, indexDir, rq, k).toSeq
+      val exact = Searcher.searchExactHits(spark, indexDir, rq, k).toSeq
+      assert(wand == exact, s"query='$q' k=$k (exact float + tie parity)")
+    }
+  }
+
+  test("fuzzy search matches oracle and finds misspellings") {
+    for (q <- Seq("improt spark", "mrege posting", "snapshto")) {
+      val rq = Searcher.resolve(spark, indexDir, q, fuzzy = true)
+      assert(rq.terms.nonEmpty, s"fuzzy expansion empty for '$q'")
+      val wand = Searcher.searchHits(spark, indexDir, rq, 20).toSeq
+      val exact = Searcher.searchExactHits(spark, indexDir, rq, 20).toSeq
+      assert(wand == exact, s"fuzzy query='$q'")
+      assert(wand.nonEmpty)
+    }
+  }
+
+  test("per-row sha256 invariant: docs table matches recomputed corpus hashes") {
+    val meta = Snapshot.load(indexDir).get
+    val docs = spark.read.parquet(meta.docsDir(indexDir))
+      .select("repo", "path", "commit", "sha256")
+    val recomputed = CodeCorpus.generate(spark, nDocs, seed = 42L)
+      .select(col("repo"), col("path"), col("commit"),
+        sha2(col("content"), 256).as("sha256_re"))
+    val joined = docs.join(recomputed, Seq("repo", "path", "commit"))
+    assert(joined.count() == nDocs)
+    assert(joined.filter(col("sha256") =!= col("sha256_re")).count() == 0)
+  }
+
+  test("determinism: different physical layout, identical results + stats") {
+    val dir2 = tmpDir("graft-index2")
+    // different bucket count, different salt threshold, different input
+    // partitioning — logical results must be identical
+    IndexBuilder.build(
+      CodeCorpus.generate(spark, nDocs, seed = 42L, partitions = 3),
+      dir2,
+      IndexConfig(numBuckets = 5, saltThreshold = 2000L, maxSalts = 4))
+    val m1 = Snapshot.load(indexDir).get
+    val m2 = Snapshot.load(dir2).get
+    assert(m1.numDocs == m2.numDocs)
+    assert(m1.avgDocLen == m2.avgDocLen)
+    assert(m1.corpusFingerprint == m2.corpusFingerprint)
+    for (q <- querySet) {
+      val h1 = Searcher.searchHits(spark, indexDir, Searcher.resolve(spark, indexDir, q), 50).toSeq
+      val h2 = Searcher.searchHits(spark, dir2, Searcher.resolve(spark, dir2, q), 50).toSeq
+      assert(h1 == h2, s"query='$q' differs across physical layouts")
+    }
+  }
+
+  test("salted hot-term postings reassemble exactly") {
+    // union of salt shards of 'import' == exact set of docs containing it
+    val meta = Snapshot.load(indexDir).get
+    val ns = meta.hotTerms("import")
+    val segs = spark.read.parquet(meta.segmentsDir(indexDir))
+      .filter(col("term") === "import")
+      .select("salt", "postings").collect()
+    assert(segs.length == ns, s"expected $ns salt shards")
+    val fromIndex = segs.flatMap(r =>
+      PostingCodec.decode(r.getAs[Array[Byte]]("postings")).map(_.docId)).sorted
+    val expected = spark.read.parquet(meta.docsDir(indexDir))
+      .filter(array_contains(map_keys(col("tfs")), "import"))
+      .select("docId").collect().map(_.getLong(0)).sorted
+    assert(fromIndex.toSeq == expected.toSeq)
+    // each shard holds exactly its salt's docs
+    for (r <- segs) {
+      val salt = r.getInt(0)
+      val ids = PostingCodec.decode(r.getAs[Array[Byte]]("postings")).map(_.docId)
+      assert(ids.forall(d => Hashing.saltOf(d, ns) == salt))
+    }
+  }
+
+  test("snapshot swap: new generation replaces pointer, old stays readable") {
+    val dir = tmpDir("graft-swap")
+    val m1 = IndexBuilder.build(CodeCorpus.generate(spark, 200, seed = 1L), dir,
+      IndexConfig(numBuckets = 4, saltThreshold = 1000000L))
+    assert(Snapshot.currentVersion(dir).contains(m1.version))
+    val m2 = IndexBuilder.build(CodeCorpus.generate(spark, 300, seed = 2L), dir,
+      IndexConfig(numBuckets = 4, saltThreshold = 1000000L))
+    assert(m2.version == m1.version + 1)
+    assert(Snapshot.currentVersion(dir).contains(m2.version))
+    assert(Snapshot.load(dir).get.numDocs == 300)
+    // old generation data intact (time travel)
+    assert(spark.read.parquet(s"$dir/v${m1.version}/docs").count() == 200)
+    assert(Snapshot.listVersions(dir) == Seq(m1.version, m2.version))
+  }
+
+  test("resume: completed stages are skipped on rebuild of same version") {
+    val dir = tmpDir("graft-resume")
+    val corpus = CodeCorpus.generate(spark, 150, seed = 3L)
+    val m1 = IndexBuilder.build(corpus, dir, IndexConfig(numBuckets = 2))
+    val docsFile = new java.io.File(s"$dir/v${m1.version}/docs")
+    val before = docsFile.lastModified()
+    Thread.sleep(20)
+    // rebuilding the SAME version resumes: docs/_SUCCESS exists → stage skipped
+    val m1b = IndexBuilder.build(corpus, dir, IndexConfig(numBuckets = 2),
+      versionOpt = Some(m1.version))
+    assert(m1b.numDocs == m1.numDocs)
+    assert(docsFile.lastModified() == before, "docs stage should not rerun")
+  }
+
+  test("queries with no matching terms return empty") {
+    val rq = Searcher.resolve(spark, indexDir, "zzz_does_not_exist qqqq")
+    assert(rq.terms.isEmpty)
+    assert(Searcher.searchHits(spark, indexDir, rq, 10).isEmpty)
+  }
+}
