@@ -1,24 +1,114 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CodeCorpus
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
+
+/** Benchmark driver. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "index_build":{...},"query_latency_ms":{...}}
+  *
+  * Three phases:
+  *  1. scaling: the SAME deterministic corpus index-built at local[8] and
+  *     local[32] (sandbox proxy for N vs 4N executors — BASELINE.md);
+  *     reports docs/sec at both and scaling efficiency (thr32/thr8)/4.
+  *  2. query latency: the reference query set against the local[32] index,
+  *     repeated; reports p50/p95 per the BASELINE.json metric.
+  *  3. driver-contract queries over SPARK_GRAFT_SF_DIR.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def withSession[T](cores: Int)(f: SparkSession => T): T = {
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    try f(spark)
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+  }
+
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
+
+    val queriesForLatency = Seq(
+      "import spark", "def merge", "posting merge segment",
+      "snapshot manifest reader", "parser builder", "import def val class",
+      "scorer ranker codec", "the runner runs quickly", "partition shard",
+      "codec", "import", "query planner executor")
+
+    // ---- phase 1: scaling (local[8] vs local[32], same input) ----
+    val cfg = IndexConfig(numBuckets = 64, saltThreshold = scaleDocs / 8,
+      maxSalts = 16)
+    def buildAt(cores: Int, dir: String): Double = {
+      rmrf(new java.io.File(dir))
+      withSession(cores) { spark =>
+        val t0 = System.nanoTime()
+        IndexBuilder.build(CodeCorpus.generate(spark, scaleDocs, seed = 42L,
+          partitions = cores * 2), dir, cfg)
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val t8 = buildAt(8, "/tmp/graft_bench_idx8")
+    val t32 = buildAt(32, "/tmp/graft_bench_idx32")
+    val thr8 = scaleDocs / t8
+    val thr32 = scaleDocs / t32
+    val eff = (thr32 / thr8) / 4.0
+
+    // ---- phase 2: query latency over the local[32] index ----
+    val (p50, p95, qps) = withSession(32) { spark =>
+      val dir = "/tmp/graft_bench_idx32"
+      // warm-up pass (JIT + page cache), then 3 measured repetitions
+      queriesForLatency.foreach(q =>
+        Searcher.searchHits(spark, dir, Searcher.resolve(spark, dir, q), 100))
+      val lat = (1 to 3).flatMap { _ =>
+        queriesForLatency.map { q =>
+          val t0 = System.nanoTime()
+          Searcher.searchHits(spark, dir, Searcher.resolve(spark, dir, q), 100)
+          (System.nanoTime() - t0) / 1e6
+        }
+      }.sorted
+      val total = lat.sum / 1000.0
+      (lat(lat.length / 2), lat(math.min(lat.length - 1, (lat.length * 95) / 100)),
+        lat.length / total)
+    }
+
+    // ---- phase 3: driver-contract queries on sfDir ----
+    val results = withSession(cpus) { spark =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+
+    def n(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + n(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum + t8 + t32
+    println(
+      s"""{"metric":"total","value":${n(total)},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","index_build":{"docs":$scaleDocs,""" +
+        s""""local8_sec":${n(t8)},"local32_sec":${n(t32)},""" +
+        s""""local8_docs_per_sec":${n(thr8)},"local32_docs_per_sec":${n(thr32)},""" +
+        s""""scaling_efficiency":${n(eff)}},""" +
+        s""""query_latency_ms":{"p50":${n(p50)},"p95":${n(p95)},"qps":${n(qps)}}}""")
   }
 }

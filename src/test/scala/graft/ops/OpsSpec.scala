@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (3L, "import spark sql functions and window aggregate"),
+    (4L, "completely different content about posting lists"),
+    (5L, "import spark sql functions and window aggregate extras")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: canonical = min id per hash") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "is_canonical").as[(Long, Boolean)].collect().toMap
+    assert(out(0L) && !out(2L)) // 2 is dup of 0
+    assert(out(1L) && out(3L) && out(4L) && out(5L))
+  }
+
+  test("shingles produce n-grams; short docs yield empty") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(col("sh").isNotNull).as[Seq[String]].collect()
+    assert(sh(0).contains("the quick brown"))
+    val empty = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("minhash LSH finds near-dups, estimates jaccard") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 2L))).get._3 == 1.0)
+    assert(keys.contains((0L, 1L)) || keys.contains((1L, 2L))) // near-dup
+    assert(keys.contains((3L, 5L)))
+    assert(!keys.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
+  test("minhash estimate tracks exact jaccard on candidates") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.3)
+    val verified = Dedup.jaccardVerify(pairs, docs, "text", "doc_id", 2)
+      .select("idA", "idB", "jaccard", "exact_jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    for ((a, b, est, exact) <- verified) {
+      assert(math.abs(est - exact) < 0.35, s"pair ($a,$b): est=$est exact=$exact")
+    }
+  }
+
+  test("simhash: identical docs same hash, near-dups close, distinct far") {
+    val sims = Dedup.simHash(docs, "text", "doc_id")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(1L)) <= 16)
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(4L)) > 16)
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 16)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("brute knn cosine: self is top hit with score 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteKnn(vecs, "embedding", "vec_id",
+      Array(1.0f, 0.0f, 0.0f), 4).as[(Long, Double)].collect()
+    assert(top(0)._1 == 0L && math.abs(top(0)._2 - 1.0) < 1e-12)
+    assert(top(1)._1 == 1L)
+    assert(top.last._1 == 3L && top.last._2 == -1.0)
+  }
+
+  test("lsh ann recall vs brute force on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val data = (0L until 300L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val brute = Similarity.bruteKnn(data, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val bucketed = Similarity.withSrpBucket(data, "embedding", dim, nBits = 6)
+    val ann = Similarity.lshKnn(bucketed, "embedding", "vec_id", q, 10,
+      nBits = 6, probeHamming = 1).select("vec_id").as[Long].collect().toSet
+    // multi-probe LSH at 6 bits should recover a good chunk of the true top-10
+    assert(ann.intersect(brute).size >= 5, s"recall too low: ${ann.intersect(brute).size}/10")
+  }
+
+  test("quantized dot knn is exact integer math") {
+    val vecs = Seq((0L, Array(0.5f, 0.25f)), (1L, Array(0.5f, 0.25f)),
+      (2L, Array(-0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedDotKnn(vecs, "embedding", "vec_id",
+      Array(0.5f, 0.25f), 3).as[(Long, Long)].collect()
+    assert(out(0) == ((0L, 500L * 500 + 250L * 250)))
+    assert(out(1)._1 == 1L) // tie broken by id
+  }
+
+  test("token stats + fingerprint + langid + subwords") {
+    val d = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze ein schöner tag"))
+      .toDF("doc_id", "text")
+    val stats = TextAnalysis.tokenStats(d, "text", "doc_id")
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(stats(0) == ((1L, 5, 4, 3, 19)))
+    val fps = TextAnalysis.fingerprint(d, "text").select("doc_id", "fingerprint")
+      .as[(Long, Long)].collect().toMap
+    // formatting-invariant: extra whitespace doesn't change the fingerprint
+    val fp2 = TextAnalysis.fingerprint(
+      Seq((1L, "the  cat   and the  dog")).toDF("doc_id", "text"), "text")
+      .select("fingerprint").as[Long].head()
+    assert(fps(1L) == fp2)
+    assert(fps(1L) != fps(2L))
+    val langs = TextAnalysis.langId(d, "text").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(langs(1L) == "en" && langs(2L) == "de")
+    val sw = TextAnalysis.subwordCount(
+      Seq((1L, "camelCaseWord x2go foo_bar")).toDF("doc_id", "text"), "text")
+      .select("n_subwords").as[Int].head()
+    assert(sw == 8) // camel|Case|Word|x|2|go|foo|bar
+  }
+
+  test("quality score in [0,1], penalizes junk") {
+    val d = Seq((1L, "the index of the merge and the posting list is good " * 3),
+      (2L, "x"), (3L, "!!! ??? ;;; ***")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(d, "text").select("doc_id", "quality")
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L) && q(1L) > q(3L))
+  }
+}
