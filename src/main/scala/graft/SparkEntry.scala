@@ -205,6 +205,32 @@ object SparkEntry {
         .orderBy("lang", "cls")
     }),
 
+    "q_pagination" -> ((s, d) => {
+      // scroll-cursor analog (reference S8): deterministic page 2
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 100 && col("rn") <= 200)
+        .select("doc_id", "n_chars")
+        .orderBy(desc("n_chars"), col("doc_id"))
+    }),
+    "q_json_extract" -> ((s, d) => {
+      table(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") >= 50)
+        .orderBy("event_id")
+    }),
+    "q_detect_numbers" -> ((s, d) => {
+      import graft.detectors.{functions => df}
+      table(s, d, "events")
+        .select(col("event_id"), explode(df.detect_numbers(col("props"))).as("m"))
+        .select(col("event_id"), col("m._1").as("value"))
+        .orderBy("event_id")
+    }),
+
     // ---- similarity: quantized dot (SQL-exact), cosine + ANN (engine) ----
     "q_knn_dot" -> ((s, d) => {
       val e = table(s, d, "embeddings")
@@ -339,6 +365,16 @@ object SparkEntry {
         |       WHEN n_chars < 350 THEN 'medium' ELSE 'long' END AS cls,
         |  COUNT(*) AS cnt
         |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_pagination" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id LIMIT 100 OFFSET 100""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "q_detect_numbers" ->
+      """SELECT event_id, regexp_extract(props, '[0-9]+') AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_knn_dot" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (

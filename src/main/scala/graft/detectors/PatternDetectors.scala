@@ -1,0 +1,87 @@
+package graft.detectors
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ListBuffer
+
+/** Regex-family pattern detectors (reference ner_v1/detectors/pattern/...):
+  * email, PNR, phone, and the user-supplied-regex detector. Each returns
+  * (values, originals) like the reference's detect_entity contract.
+  */
+object PatternDetectors {
+
+  /** RFC-5321-ish email matcher over lowercased text
+    * (email_detection.py:120-155 semantics: dot-atom local part with the
+    * full special-char set, dotted domain).
+    */
+  private val emailPattern = Pattern.compile(
+    raw"[a-z0-9!#$$%&'*+/=?^_`{|}~-]+(?:\.[a-z0-9!#$$%&'*+/=?^_`{|}~-]+)*" +
+      raw"@(?:[a-z0-9](?:[a-z0-9-]*[a-z0-9])?\.)+[a-z0-9](?:[a-z0-9-]*[a-z0-9])?")
+
+  def emails(text: String): Seq[Detected] = {
+    val m = emailPattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val out = ListBuffer.empty[Detected]
+    while (m.find()) out += Detected(m.group(), None, m.group())
+    out.toSeq
+  }
+
+  /** Long travel PNR codes: 10-12 digit runs, optionally with separators
+    * every few digits (pnr_detection.py:150-260 semantics: plain 10-12
+    * digits, or 10 digits split by space/dash groups).
+    */
+  private val pnrPlain = Pattern.compile(raw"\b(\d{10,12})\b")
+  private val pnrSeparated = Pattern.compile(
+    raw"\b(\d{2,4}[\s-]\d{2,4}[\s-]\d{2,4}(?:[\s-]\d{1,4})?)\b")
+
+  def pnrs(text: String): Seq[Detected] = {
+    val out = ListBuffer.empty[Detected]
+    val m1 = pnrPlain.matcher(text)
+    while (m1.find()) out += Detected(m1.group(1), None, m1.group(1))
+    val m2 = pnrSeparated.matcher(text)
+    while (m2.find()) {
+      val digits = m2.group(1).replaceAll("[\\s-]", "")
+      if (digits.length >= 10 && digits.length <= 12)
+        out += Detected(digits, None, m2.group(1))
+    }
+    out.toSeq
+  }
+
+  /** Phone numbers (lite): optional +CC, 8-13 digit national number with
+    * optional separators; returns (countryCallingCode, nationalNumber)
+    * packed as value "cc:number" when a calling code is present
+    * (phone_number_detection.py:76-170 national length >= 8 rule).
+    */
+  private val phonePattern = Pattern.compile(
+    raw"(?:\+|00)(\d{1,3})[\s-]?((?:\d[\s-]?){8,12}\d)|\b((?:\d[\s-]?){7,12}\d)\b")
+
+  def phones(text: String, defaultCallingCode: String = "91"): Seq[Detected] = {
+    val out = ListBuffer.empty[Detected]
+    val m = phonePattern.matcher(text)
+    while (m.find()) {
+      if (m.group(1) != null) {
+        val national = m.group(2).replaceAll("[\\s-]", "")
+        if (national.length >= 8)
+          out += Detected(national, Some(m.group(1)), m.group().strip())
+      } else {
+        val national = m.group(3).replaceAll("[\\s-]", "")
+        if (national.length >= 8)
+          out += Detected(national, Some(defaultCallingCode), m.group(3).strip())
+      }
+    }
+    out.toSeq
+  }
+
+  /** User-pattern detector (regex_detection.py:45-131): compile-time
+    * validation, non-empty matches only, capped at maxMatches=50; uses
+    * group(1) when the pattern has capturing groups, whole match otherwise.
+    */
+  def custom(text: String, pattern: String, maxMatches: Int = 50): Seq[Detected] = {
+    val p = Pattern.compile(pattern) // throws PatternSyntaxException: caller validates
+    val m = p.matcher(text)
+    val out = ListBuffer.empty[Detected]
+    while (m.find() && out.size < maxMatches) {
+      val v = if (m.groupCount() >= 1 && m.group(1) != null) m.group(1) else m.group()
+      if (v.nonEmpty) out += Detected(v, None, m.group())
+    }
+    out.toSeq
+  }
+}

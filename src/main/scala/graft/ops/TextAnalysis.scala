@@ -54,15 +54,28 @@ object TextAnalysis {
     "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "que", " qu", "ión"))
 
   def langId(df: DataFrame, textCol: String): DataFrame = {
-    val lower_ = lower(col(textCol))
-    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
-      val s = grams.map(g =>
-        when(lower_.contains(g), 1).otherwise(0): Column).reduce(_ + _)
-      struct(s.as("score"), lit(lang).as("lang"))
+    // single compact UDF instead of a ~400-node expression tree: the
+    // expression form triggered a pathological whole-stage-codegen method
+    // (janino compile per task dominated runtime)
+    val profiles = langProfiles.toSeq.sortBy(_._1)
+    val idU = udf { (text: String) =>
+      if (text == null) "und"
+      else {
+        val t = text.toLowerCase(java.util.Locale.ROOT)
+        var bestLang = "und"
+        var bestScore = -1
+        for ((lang, grams) <- profiles) {
+          var s = 0
+          for (g <- grams) if (t.contains(g)) s += 1
+          // tie → lexicographically larger lang (stable, documented)
+          if (s > bestScore || (s == bestScore && lang > bestLang)) {
+            bestScore = s; bestLang = lang
+          }
+        }
+        bestLang
+      }
     }
-    // argmax by (score, lang) — deterministic tie-break
-    df.withColumn("lang_pred",
-      greatest(scores: _*).getField("lang"))
+    df.withColumn("lang_pred", idU(col(textCol)))
   }
 
   /** Rolling fingerprint of the whitespace token stream: per-token hash

@@ -1,0 +1,183 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.analyzer.Analyzer
+import graft.functions.EditDistance
+import graft.index.{Hashing, Snapshot, SnapshotMeta}
+
+import scala.collection.concurrent.TrieMap
+
+/** An opened snapshot, ready to serve queries.
+  *
+  * Two-tier serving (the ES analogy: a coordinating node with hot shards):
+  *  - indexes whose dictionary and postings fit a configurable driver budget
+  *    are cached in driver memory at open() → queries are pure in-process
+  *    WAND, no Spark job, millisecond latency;
+  *  - larger indexes keep the dictionary as a parquet-pushdown lookup and
+  *    run scatter-gather WAND over a PERSISTED segments Dataset (cached in
+  *    executor memory after first touch) — one narrow job + one small
+  *    shuffle per query, no file IO after warm-up.
+  *
+  * Both tiers run the identical Wand.topK kernel, so results are
+  * bit-identical regardless of tier (tested in EngineSpec).
+  */
+final class IndexReader private (
+    spark: SparkSession,
+    val indexDir: String,
+    val meta: SnapshotMeta,
+    dictMap: Option[Map[String, Searcher.TermStats]],
+    segMap: Option[Map[(String, Int), IndexReader.SegShard]]) {
+
+  import IndexReader.SegShard
+
+  val bm25: BM25 = BM25(meta.k1, meta.b)
+
+  private lazy val dictDf: DataFrame =
+    spark.read.schema(graft.index.IndexSchemas.dict).parquet(meta.dictDir(indexDir))
+
+  /** Persisted distributed segments (lazy — only touched on the big tier). */
+  private lazy val segsDs = {
+    import spark.implicits._
+    val ds = spark.read.schema(graft.index.IndexSchemas.segments).parquet(meta.segmentsDir(indexDir))
+      .select("term", "salt", "numSalts", "maxTf", "postings")
+      .as[(String, Int, Int, Int, Array[Byte])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ds.count() // materialize once
+    ds
+  }
+
+  // ---- term resolution ----
+
+  def resolve(queryText: String, fuzzy: Boolean = false): Searcher.ResolvedQuery = {
+    val tokens = Analyzer.analyze(queryText).distinct.sorted.toSeq
+    val terms: Seq[Searcher.TermStats] =
+      if (tokens.isEmpty) Seq.empty
+      else if (!fuzzy) lookup(tokens)
+      else expandFuzzy(tokens)
+    Searcher.ResolvedQuery(terms.sortBy(_.term), meta)
+  }
+
+  private def lookup(tokens: Seq[String]): Seq[Searcher.TermStats] =
+    dictMap match {
+      case Some(m) => tokens.flatMap(m.get)
+      case None =>
+        dictDf.filter(col("term").isin(tokens: _*))
+          .select("term", "df", "maxTf", "numSalts").collect().toSeq
+          .map(r => Searcher.TermStats(r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    }
+
+  /** ES-style fuzzy expansion (auto:4,7, prefix_length 1, max 50/token —
+    * see Searcher scaladoc). In-memory scan on the cached tier; Spark
+    * filter over the dictionary otherwise.
+    */
+  private def expandFuzzy(tokens: Seq[String]): Seq[Searcher.TermStats] = {
+    dictMap match {
+      case Some(m) =>
+        tokens.flatMap { q =>
+          val kEd = EditDistance.autoFuzzyEdits(q.length)
+          if (kEd == 0) m.get(q).toSeq
+          else {
+            val cands = m.valuesIterator.flatMap { ts =>
+              val t = ts.term
+              if (t.isEmpty || q.isEmpty || t.charAt(0) != q.charAt(0)) None
+              else if (math.abs(t.length - q.length) > kEd) None
+              else {
+                val d = EditDistance.osa(q, t, kEd)
+                if (d <= kEd) Some((d, ts)) else None
+              }
+            }.toSeq
+            cands.sortBy { case (d, ts) => (d, -ts.df, ts.term) }.take(50).map(_._2)
+          }
+        }.distinct
+      case None => Searcher.expandFuzzySpark(spark, dictDf, tokens)
+    }
+  }
+
+  // ---- search ----
+
+  def searchHits(rq: Searcher.ResolvedQuery, k: Int): Array[Hit] = {
+    if (rq.terms.isEmpty) return Array.empty
+    segMap match {
+      case Some(m) => searchLocal(m, rq, k)
+      case None => Searcher.searchDistributed(spark, segsDs, rq, k)
+    }
+  }
+
+  /** In-process scatter-gather: one WAND pass per salt task, sequential
+    * (tasks are independent; parallelize across a thread pool if single-query
+    * latency over many salts ever dominates).
+    */
+  private def searchLocal(m: Map[(String, Int), SegShard],
+      rq: Searcher.ResolvedQuery, k: Int): Array[Hit] = {
+    val sQ = rq.saltFanout
+    val n = meta.numDocs
+    val idf = rq.terms.map(t => t.term -> bm25.idf(t.df, n)).toMap
+    val all = (0 until sQ).flatMap { task =>
+      val shards = rq.terms.flatMap { t =>
+        m.get((t.term, task & (t.numSalts - 1)))
+          .map(s => TermShard(t.term, idf(t.term), s.maxTf, s.postings))
+      }
+      val owns: Long => Boolean =
+        if (sQ == 1) _ => true else d => Hashing.saltOf(d, sQ) == task
+      Wand.topK(shards, k, bm25, owns)
+    }
+    all.sortBy(h => (-h.score, h.docId)).take(k).toArray
+  }
+
+  def search(queryText: String, k: Int, fuzzy: Boolean = false): DataFrame = {
+    import spark.implicits._
+    searchHits(resolve(queryText, fuzzy), k).zipWithIndex
+      .map { case (h, i) => (i + 1, h.docId, h.score) }.toSeq
+      .toDF("rank", "doc_id", "score")
+  }
+}
+
+object IndexReader {
+
+  final case class SegShard(numSalts: Int, maxTf: Int, postings: Array[Byte])
+
+  /** Driver-cache budgets: vocabulary entries and posting bytes. Above
+    * either limit the reader serves from the distributed tier.
+    */
+  final case class ReaderConfig(
+      maxDriverVocab: Long = 2000000L,
+      maxDriverPostingBytes: Long = 1024L << 20)
+
+  private val openReaders = TrieMap.empty[(String, Int, ReaderConfig), IndexReader]
+
+  /** Open (or reuse) a reader for the CURRENT snapshot of indexDir.
+    * Keyed by (dir, version, config): a snapshot swap yields a fresh reader.
+    */
+  def open(spark: SparkSession, indexDir: String,
+      cfg: ReaderConfig = ReaderConfig()): IndexReader = {
+    val meta = Snapshot.load(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $indexDir"))
+    openReaders.getOrElseUpdate((indexDir, meta.version, cfg), {
+      import spark.implicits._
+      // lineage carries per-bucket posting byte totals — cheap sizing probe
+      val sizing = spark.read.schema(graft.index.IndexSchemas.lineage).parquet(meta.lineageDir(indexDir))
+        .agg(sum("numShards"), sum("postingBytes")).collect()(0)
+      val nShards = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
+      val pBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
+      val small = nShards <= cfg.maxDriverVocab && pBytes <= cfg.maxDriverPostingBytes
+
+      val (dictMap, segMap) =
+        if (!small) (None, None)
+        else {
+          val dm = spark.read.schema(graft.index.IndexSchemas.dict).parquet(meta.dictDir(indexDir))
+            .select("term", "df", "maxTf", "numSalts")
+            .as[(String, Long, Int, Int)].collect()
+            .map(r => r._1 -> Searcher.TermStats(r._1, r._2, r._3, r._4)).toMap
+          val sm = spark.read.schema(graft.index.IndexSchemas.segments).parquet(meta.segmentsDir(indexDir))
+            .select("term", "salt", "numSalts", "maxTf", "postings")
+            .as[(String, Int, Int, Int, Array[Byte])].collect()
+            .map(r => (r._1, r._2) -> SegShard(r._3, r._4, r._5)).toMap
+          (Some(dm), Some(sm))
+        }
+      new IndexReader(spark, indexDir, meta, dictMap, segMap)
+    })
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.index.{IndexBuilder, IndexConfig, Snapshot, SnapshotMeta}
+
+/** Incremental corpus ingestion: the reference's upsert-then-reindex model
+  * (datastore S4-S7: writes land in the live store, a reindex + alias swap
+  * publishes them — SURVEY.md §2.11) expressed as Structured Streaming.
+  *
+  * The managed corpus lives at `<storeDir>/corpus` (append-only parquet);
+  * each micro-batch appends its rows and commits a NEW index snapshot, so
+  * readers always see either the previous or the next complete generation —
+  * never a half-built index. Failure between corpus-append and snapshot
+  * commit is safe: the pointer still names the old generation, and the next
+  * batch's rebuild picks up the appended rows.
+  *
+  * Scale note: per-batch full rebuild is the correctness-first path; the
+  * segment layout already supports delta builds (build segments for new
+  * docShards only, union manifests) — planned optimization, same on-disk
+  * contract.
+  */
+object StreamingIngest {
+
+  def corpusDir(storeDir: String) = s"$storeDir/corpus"
+
+  /** Append a batch of corpus rows and publish a new snapshot. */
+  def appendBatch(spark: SparkSession, storeDir: String,
+      batch: DataFrame, cfg: IndexConfig = IndexConfig()): SnapshotMeta = {
+    batch.select("repo", "path", "commit", "lang", "content")
+      .write.mode(SaveMode.Append).parquet(corpusDir(storeDir))
+    val corpus = spark.read
+      .schema("repo string, path string, commit string, lang string, content string")
+      .parquet(corpusDir(storeDir))
+      .dropDuplicates("repo", "path", "commit")
+    IndexBuilder.build(corpus, storeDir, cfg)
+  }
+
+  /** Attach a streaming source: every micro-batch lands as one snapshot
+    * generation. `Trigger.AvailableNow` drains the backlog and stops —
+    * the batch-refresh pattern; pass a processing-time trigger for
+    * continuous ingestion.
+    */
+  def start(spark: SparkSession, storeDir: String, source: DataFrame,
+      cfg: IndexConfig = IndexConfig(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    source.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$storeDir/checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatch(spark, storeDir, batch, cfg): Unit
+      }
+      .start()
+  }
+
+  def currentVersion(storeDir: String): Option[Int] =
+    Snapshot.currentVersion(storeDir)
+}

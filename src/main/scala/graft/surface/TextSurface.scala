@@ -1,0 +1,140 @@
+package graft.surface
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyzer.Analyzer
+import graft.index.PostingCodec
+import graft.query.{BM25, IndexReader}
+
+/** The `/v2/text` detection path (SURVEY.md §3.1) on the engine:
+  *
+  *   analyze(message) → fuzzy/exact term resolution → scored variant hits
+  *   restricted by entity/language filter context → full-coverage highlight
+  *   filter (R1) → per-entity variant→value mapping in score order (R2) →
+  *   greedy exact-then-fuzzy span assignment with consumption (R3) →
+  *   detections (value, original_text).
+  *
+  * The ES query it re-expresses (ner_v2/detectors/textual/queries.py:15-125):
+  * bool { filter: [terms entity_data, terms language_script],
+  *        should: [match variants fuzzy], minimum_should_match: 1 } with
+  * highlights. Filter clauses do not contribute to the BM25 score (filter
+  * context); idf is index-global — both reproduced here.
+  */
+object TextSurface {
+
+  final case class VariantHit(entity: String, value: String, variant: String,
+      score: Double)
+  final case class Detection(entity: String, value: String,
+      original_text: String, detection: String, language: String)
+
+  /** Scored variant hits for a message: the engine half (steps 4-8 of the
+    * reference lifecycle). One relational plan: decode postings of the query
+    * terms → per-doc score + matched-term set → join the (filtered) forward
+    * index with parquet pushdown on entity/language → R1 full-coverage →
+    * top `size` by score.
+    */
+  def searchVariants(spark: SparkSession, storeDir: String, message: String,
+      entities: Seq[String], languages: Seq[String] = Seq("en"),
+      fuzzy: Boolean = true, size: Int = 1000): Seq[VariantHit] = {
+    import spark.implicits._
+    val reader = IndexReader.open(spark, storeDir)
+    val meta = reader.meta
+    val rq = reader.resolve(message, fuzzy)
+    if (rq.terms.isEmpty) return Seq.empty
+    val bm25 = BM25(meta.k1, meta.b)
+    val idf = rq.terms.map(t => t.term -> bm25.idf(t.df, meta.numDocs)).toMap
+    val termNames = rq.terms.map(_.term)
+    val idfB = spark.sparkContext.broadcast(idf)
+
+    // per-doc (score, matched terms) from the compressed postings
+    val scored = spark.read.schema(graft.index.IndexSchemas.segments).parquet(meta.segmentsDir(storeDir))
+      .filter(col("term").isin(termNames: _*))
+      .select("term", "postings").as[(String, Array[Byte])]
+      .flatMap { case (term, postings) =>
+        PostingCodec.decode(postings).iterator
+          .map(p => (p.docId, term, idfB.value(term) * bm25.tfWeight(p.tf, 0.0)))
+      }
+      .toDF("docId", "term", "contrib")
+      .groupBy("docId")
+      .agg(sum("contrib").as("rawScore"), // display only; order uses sorted sum
+        sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"),
+        collect_set("term").as("matched"))
+      .withColumn("score",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
+      .select("docId", "score", "matched")
+
+    // filter context: entity/language predicates (non-scoring) + R1
+    val docs = spark.read.schema(graft.index.IndexSchemas.docs).parquet(meta.docsDir(storeDir))
+      .filter(col("repo").isin(entities: _*) &&
+        (if (languages.nonEmpty) col("lang").isin(languages: _*) else lit(true)))
+      .select(col("docId"), col("repo").as("entity"), col("path").as("value"),
+        col("commit").as("variant"), map_keys(col("tfs")).as("variantTerms"))
+
+    docs.join(scored, "docId")
+      .filter(forall(col("variantTerms"), t => array_contains(col("matched"), t)))
+      .select("entity", "value", "variant", "score", "docId")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(size)
+      .as[(String, String, String, Double, Long)]
+      .collect()
+      .map(r => VariantHit(r._1, r._2, r._3, r._4))
+      .toSeq
+  }
+
+  /** Full detection for one message (steps 8-9: R2 + R3). */
+  def detect(spark: SparkSession, storeDir: String, message: String,
+      entities: Seq[String], languages: Seq[String] = Seq("en"),
+      fuzzy: Boolean = true, lo: Int = 4, hi: Int = 7,
+      minTokenSize: Int = 4): Map[String, Seq[Detection]] = {
+    val hits = searchVariants(spark, storeDir, message, entities, languages, fuzzy)
+    val language = languages.headOption.getOrElse("en")
+    // canonical query text: lowercase + tokenize + rejoin
+    // (text_detection.py:153-164)
+    val processedText = Analyzer.lower(message)
+    postProcess(hits, processedText, entities, language, lo, hi, minTokenSize)
+  }
+
+  /** R2 + R3, pure client-side logic (deterministic greedy — the order IS
+    * the contract, text_detection.py:256-331).
+    */
+  private[surface] def postProcess(hits: Seq[VariantHit], processedText: String,
+      entities: Seq[String], language: String, lo: Int, hi: Int,
+      minTokenSize: Int): Map[String, Seq[Detection]] = {
+    import graft.analyzer.Tokenizer
+    entities.map { entity =>
+      // R2: variant→value in score order, first-wins per variant
+      val vToV = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      hits.iterator.filter(_.entity == entity).foreach { h =>
+        val v = h.variant.toLowerCase(java.util.Locale.ROOT)
+        if (!vToV.contains(v)) vToV(v) = h.value
+      }
+      // R3: exact before fuzzy, token count desc within each (stable sort)
+      val variants = vToV.keys.toSeq
+      val (exactM, fuzzyM) = variants.partition(v =>
+        processedText.contains(Tokenizer.tokenizeTerms(v).mkString(" ")))
+      val ordered = exactM.sortBy(v => -Tokenizer.tokenizeTerms(v).length) ++
+        fuzzyM.sortBy(v => -Tokenizer.tokenizeTerms(v).length)
+      var remaining = processedText
+      val out = Seq.newBuilder[Detection]
+      for (variant <- ordered) {
+        Alignment.entitySubstring(remaining, variant, lo, hi, minTokenSize)
+          .foreach { original =>
+            out += Detection(entity, vToV(variant), original, "message", language)
+            remaining = Alignment.consume(remaining, original, entity)
+          }
+      }
+      entity -> out.result()
+    }.toMap
+  }
+
+  /** Bulk detection (the msearch path, queries batched —
+    * elastic_search.py:153-163): one call per message for now; the engine
+    * amortizes via the cached reader. TODO(next round): single multi-query
+    * pass over postings.
+    */
+  def detectBulk(spark: SparkSession, storeDir: String, messages: Seq[String],
+      entities: Seq[String], languages: Seq[String] = Seq("en"),
+      fuzzy: Boolean = true): Seq[Map[String, Seq[Detection]]] =
+    messages.map(m => detect(spark, storeDir, m, entities, languages, fuzzy))
+}

@@ -52,6 +52,24 @@ class EngineSpec extends SparkTestBase {
     }
   }
 
+  test("distributed serving tier is bit-identical to the driver-cached tier") {
+    import graft.query.IndexReader
+    // zero driver budget forces the persisted-Dataset scatter-gather path
+    val distReader = IndexReader.open(spark, indexDir,
+      IndexReader.ReaderConfig(maxDriverVocab = 0, maxDriverPostingBytes = 0))
+    val cachedReader = IndexReader.open(spark, indexDir)
+    for (q <- querySet) {
+      val d = distReader.searchHits(distReader.resolve(q), 20).toSeq
+      val c = cachedReader.searchHits(cachedReader.resolve(q), 20).toSeq
+      assert(d == c, s"query='$q' differs across serving tiers")
+    }
+    // fuzzy expansion too (Spark-job path vs in-memory scan)
+    val fq = "improt snapshto"
+    val dRq = distReader.resolve(fq, fuzzy = true)
+    val cRq = cachedReader.resolve(fq, fuzzy = true)
+    assert(dRq.terms.toSet == cRq.terms.toSet, "fuzzy expansion differs across tiers")
+  }
+
   test("fuzzy search matches oracle and finds misspellings") {
     for (q <- Seq("improt spark", "mrege posting", "snapshto")) {
       val rq = Searcher.resolve(spark, indexDir, q, fuzzy = true)

@@ -1,0 +1,134 @@
+package graft.surface
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.index.Snapshot
+
+/** Entity-dictionary surface: fixtures patterned after the reference's
+  * postman datastore seeds (city/cuisine dictionaries with misspelling-prone
+  * variants) — synthesized, not copied.
+  */
+class SurfaceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val storeDir = {
+    val dir = tmpDir("graft-store")
+    val dict = Seq(
+      ("city", "Mumbai", Seq("mumbai", "bombay"), "en"),
+      ("city", "New Delhi", Seq("new delhi", "delhi", "dilli"), "en"),
+      ("city", "Chennai", Seq("chennai", "madras"), "en"),
+      ("city", "Bengaluru", Seq("bengaluru", "bangalore", "blore"), "en"),
+      ("cuisine", "Italian", Seq("italian", "pasta", "pizza"), "en"),
+      ("cuisine", "South Indian", Seq("south indian", "dosa", "idli"), "en"),
+      ("city", "Mumbai", Seq("मुंबई"), "hi")
+    ).toDF("entity_data", "value", "variants", "language_script")
+    EntityStore.commitDictionary(spark, dir, dict)
+    dir
+  }
+
+  test("exact single-token detection") {
+    val d = TextSurface.detect(spark, storeDir, "book a flight to Chennai",
+      Seq("city"))
+    assert(d("city").map(x => (x.value, x.original_text)) ==
+      Seq(("Chennai", "chennai")))
+  }
+
+  test("misspelling detected via fuzzy match + alignment") {
+    // reference doc example: 'delehi' → New Delhi (text_detection.py:466-470)
+    val d = TextSurface.detect(spark, storeDir,
+      "I will visit Delehi next year", Seq("city"))
+    assert(d("city").map(x => (x.value, x.original_text)) ==
+      Seq(("New Delhi", "delehi")))
+  }
+
+  test("multi-word variant wins over its single-token substring") {
+    val d = TextSurface.detect(spark, storeDir,
+      "moving to new delhi soon", Seq("city"))
+    assert(d("city").map(_.value) == Seq("New Delhi"))
+    assert(d("city").head.original_text == "new delhi")
+  }
+
+  test("multiple entities detected and consumed independently") {
+    val d = TextSurface.detect(spark, storeDir,
+      "best pizza in mumbai or bangalore", Seq("city", "cuisine"))
+    assert(d("city").map(_.value).toSet == Set("Mumbai", "Bengaluru"))
+    assert(d("cuisine").map(_.value) == Seq("Italian"))
+  }
+
+  test("greedy consumption: same span not claimed twice") {
+    val d = TextSurface.detect(spark, storeDir,
+      "dosa dosa in chennai", Seq("city", "cuisine"))
+    // two dosa occurrences → the word-boundary substitution consumes both
+    // after the first claim (reference regex-sub semantics)
+    assert(d("cuisine").map(_.value) == Seq("South Indian"))
+    assert(d("city").map(_.value) == Seq("Chennai"))
+  }
+
+  test("language filter restricts variants") {
+    val en = TextSurface.searchVariants(spark, storeDir, "मुंबई", Seq("city"),
+      languages = Seq("en"))
+    val hi = TextSurface.searchVariants(spark, storeDir, "मुंबई", Seq("city"),
+      languages = Seq("hi"))
+    assert(en.isEmpty)
+    assert(hi.map(_.value).distinct == Seq("Mumbai"))
+  }
+
+  test("entity filter is filter-context (no score contribution)") {
+    val hits = TextSurface.searchVariants(spark, storeDir,
+      "pizza in mumbai", Seq("cuisine"))
+    assert(hits.nonEmpty && hits.forall(_.entity == "cuisine"))
+  }
+
+  test("aggregations: unique values + supported languages") {
+    val vals = EntityStore.uniqueValues(spark, storeDir, "city")
+      .as[String].collect().toSeq
+    assert(vals == Seq("Bengaluru", "Chennai", "Mumbai", "New Delhi"))
+    val langs = EntityStore.supportedLanguages(spark, storeDir, "city")
+      .as[String].collect().toSeq
+    assert(langs == Seq("en", "hi"))
+  }
+
+  test("CRUD: upsert and delete roll new snapshots; old stays readable") {
+    val dir = tmpDir("graft-store-crud")
+    val dict = Seq(
+      ("city", "Pune", Seq("pune", "poona"), "en"),
+      ("city", "Goa", Seq("goa"), "en")
+    ).toDF("entity_data", "value", "variants", "language_script")
+    val m1 = EntityStore.commitDictionary(spark, dir, dict)
+
+    val m2 = EntityStore.upsert(spark, dir,
+      Seq(("city", "Pune", Seq("pune", "poona", "punee"), "en"))
+        .toDF("entity_data", "value", "variants", "language_script"))
+    assert(m2.version == m1.version + 1)
+    val d2 = TextSurface.detect(spark, dir, "flying to punee", Seq("city"))
+    assert(d2("city").map(_.value) == Seq("Pune"))
+
+    val m3 = EntityStore.deleteValues(spark, dir, "city", Seq("Goa"))
+    assert(EntityStore.uniqueValues(spark, dir, "city").as[String].collect()
+      .toSeq == Seq("Pune"))
+
+    EntityStore.deleteEntity(spark, dir, "city")
+    assert(EntityStore.uniqueValues(spark, dir, "city").count() == 0)
+
+    // time travel: first generation still lists Goa
+    assert(Snapshot.listVersions(dir).size == 4)
+    assert(spark.read.parquet(s"$dir/v${m1.version}/dictionary")
+      .filter(col("value") === "Goa").count() == 1)
+    assert(m3.version == m2.version + 1)
+  }
+
+  test("alignment unit behavior matches reference doc examples") {
+    assert(Alignment.entitySubstring(
+      "come to chennai, tamil nadu, i will visit delehi next year", "chennai")
+      .contains("chennai"))
+    assert(Alignment.entitySubstring(
+      "come to chennai, tamil nadu, i will visit delehi next year", "delhi")
+      .contains("delehi"))
+    // dropped-char recovery: '&' preserved inside the span
+    assert(Alignment.entitySubstring(
+      "i want to order 1 pc hot & crispy", "1 pc hot crispy")
+      .contains("1 pc hot & crispy"))
+    // short tokens stay strict (< minTokenSize → no fuzzy)
+    assert(Alignment.entitySubstring("go to goaa now", "goa").isEmpty)
+  }
+}
