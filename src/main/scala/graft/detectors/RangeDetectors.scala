@@ -1,0 +1,192 @@
+package graft.detectors
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ListBuffer
+
+/** Number-range detection (reference
+  * ner_v2/detectors/numeral/number_range/standard_number_range_detector.py):
+  * two-phase — numbers are first tagged as `__dnumber_N__` placeholders,
+  * then SIX ordered sub-detectors classify spans (pipeline at :66-72):
+  * min-max pair, min prefix/suffix, max prefix/suffix, absolute. Keyword
+  * variants follow the en number_range_keywords.csv semantics
+  * (above/more-than → min prefix; onwards/or-more → min suffix;
+  * max/upto/below/less-than → max prefix; to/- → min_max separator).
+  */
+final case class DetectedRange(minValue: Option[String],
+    maxValue: Option[String], unit: Option[String], original: String)
+
+final class NumberRangeDetector(entityName: String = "number_range",
+    unitsMap: Map[String, String] = Map.empty) {
+
+  private val tag = s"__${entityName}__"
+  private val numberDetector =
+    new NumberDetector(entityName, unitsMap, minDigits = 1, maxDigits = 100)
+
+  private val minPrefix =
+    raw"(?:above|abv|abov|more than|mor than|greater than|greater|over)"
+  private val minSuffix = raw"(?:onwards|and above|or above|or more|or great)"
+  private val maxPrefix = raw"(?:max|upto|up to|below|less than|less|under)"
+  private val maxSuffix = raw"(?:max)"
+  private val sep = raw"(?:to|till|until|-)"
+
+  private val ph = raw"__dnumber_(\d+)__"
+  private val pMinMax = Pattern.compile(raw"$ph\s*$sep\s*$ph")
+  private val pMinPrefix = Pattern.compile(raw"$minPrefix\s+$ph")
+  private val pMinSuffix = Pattern.compile(raw"$ph\s+$minSuffix")
+  private val pMaxPrefix = Pattern.compile(raw"$maxPrefix\s+$ph")
+  private val pMaxSuffix = Pattern.compile(raw"$ph\s+$maxSuffix")
+  private val pAbsolute = Pattern.compile(ph)
+
+  def detect(text0: String): Seq[DetectedRange] = {
+    val lowered = text0.toLowerCase(java.util.Locale.ROOT)
+    val nums = numberDetector.detect(lowered)
+
+    // phase 1: tag numbers with indexed placeholders (span order)
+    var tagged = lowered
+    val byIdx = nums.zipWithIndex.map { case (d, i) =>
+      val p = Pattern.compile(raw"\b" + Pattern.quote(d.original) + raw"\b")
+      val m = p.matcher(tagged)
+      if (m.find()) {
+        tagged = tagged.substring(0, m.start()) + s"__dnumber_${i}__" +
+          tagged.substring(m.end())
+      }
+      i -> d
+    }.toMap
+
+    val results = ListBuffer.empty[(Int, DetectedRange)]
+
+    def original(span: String): String =
+      raw"__dnumber_(\d+)__".r.replaceAllIn(span,
+        m => java.util.regex.Matcher.quoteReplacement(byIdx(m.group(1).toInt).original))
+
+    def run(p: Pattern)(mk: java.util.regex.Matcher => DetectedRange): Unit = {
+      var m = p.matcher(tagged)
+      val found = ListBuffer.empty[(String, DetectedRange)]
+      while (m.find()) found += ((m.group(), mk(m)))
+      for ((span, r) <- found) {
+        val mm = Pattern.compile(Pattern.quote(span)).matcher(tagged)
+        if (mm.find()) {
+          results += ((mm.start(), r))
+          tagged = tagged.substring(0, mm.start()) + tag + tagged.substring(mm.end())
+        }
+      }
+      m = null
+    }
+
+    def numAt(m: java.util.regex.Matcher, g: Int): Detected = byIdx(m.group(g).toInt)
+
+    run(pMinMax) { m =>
+      val lo = numAt(m, 1); val hi = numAt(m, 2)
+      DetectedRange(Some(lo.value), Some(hi.value),
+        lo.unit.orElse(hi.unit), original(m.group()))
+    }
+    run(pMinPrefix) { m =>
+      val n = numAt(m, 1)
+      DetectedRange(Some(n.value), None, n.unit, original(m.group()))
+    }
+    run(pMinSuffix) { m =>
+      val n = numAt(m, 1)
+      DetectedRange(Some(n.value), None, n.unit, original(m.group()))
+    }
+    run(pMaxPrefix) { m =>
+      val n = numAt(m, 1)
+      DetectedRange(None, Some(n.value), n.unit, original(m.group()))
+    }
+    run(pMaxSuffix) { m =>
+      val n = numAt(m, 1)
+      DetectedRange(None, Some(n.value), n.unit, original(m.group()))
+    }
+    run(pAbsolute) { m =>
+      val n = numAt(m, 1)
+      DetectedRange(Some(n.value), Some(n.value), n.unit, original(m.group()))
+    }
+
+    results.sortBy(_._1).map(_._2).toSeq
+  }
+}
+
+/** Budget detection (reference ner_v1/detectors/numeral/budget/
+  * budget_detection.py:141-441): ordered min-max / min / max / any pipeline
+  * over money-ish amounts with scale suffixes (k/thousand/lakh/cr...),
+  * digit-count window 2-5 on the raw digits (reference defaults), output
+  * {min_budget, max_budget, type='normal_budget'}.
+  */
+final case class DetectedBudget(minBudget: Long, maxBudget: Long,
+    btype: String, original: String)
+
+final class BudgetDetector(minDigits: Int = 2, maxDigits: Int = 5) {
+
+  private val tag = "__budget__"
+  private val scaleAlt = NumberWords.enDigitScales.keys.toSeq
+    .sortBy(-_.length).map(Pattern.quote).mkString("|")
+  private val amt = raw"(?:rs\.?|rupees|rupee|inr|\$$)?\s*(\d+(?:[.,]\d+)?)\s*(?:($scaleAlt)\b)?\s*(?:rs\.?|rupees|rupee|inr|bucks)?"
+  private val pMinMax = Pattern.compile(
+    raw"(?:between\s+)?$amt\s*(?:to|and|-)\s*$amt")
+  private val pMin = Pattern.compile(
+    raw"(?:above|over|more than|greater than|at\s?least|minimum|min)\s+$amt")
+  private val pMax = Pattern.compile(
+    raw"(?:upto|up to|under|below|less than|within|maximum|max|at\s?most)\s+$amt")
+  private val pAny = Pattern.compile(amt)
+
+  private def parse(numStr: String, scaleStr: String): Option[Long] = {
+    val digits = numStr.replace(",", "")
+    val rawDigits = digits.replace(".", "")
+    if (rawDigits.length < minDigits && scaleStr == null) return None
+    if (rawDigits.length > maxDigits) return None
+    val scale = Option(scaleStr).map(NumberWords.enDigitScales).getOrElse(1L)
+    val v = digits.toDouble * scale
+    Some(v.toLong)
+  }
+
+  def detect(text0: String): Seq[DetectedBudget] = {
+    var processed = " " + text0.toLowerCase(java.util.Locale.ROOT) + " "
+    val results = ListBuffer.empty[(Int, DetectedBudget)]
+
+    def consume(span: String): Int = {
+      val m = Pattern.compile(Pattern.quote(span)).matcher(processed)
+      if (!m.find()) -1
+      else {
+        val at = m.start()
+        processed = processed.substring(0, at) + tag + processed.substring(m.end())
+        at
+      }
+    }
+    def run(p: Pattern)(mk: java.util.regex.Matcher => Option[DetectedBudget]): Unit = {
+      val m = p.matcher(processed)
+      val found = ListBuffer.empty[(String, DetectedBudget)]
+      while (m.find()) mk(m).foreach(b => found += ((m.group().strip(), b)))
+      for ((span, b) <- found) {
+        val at = consume(span)
+        if (at >= 0) results += ((at, b.copy(original = span)))
+      }
+    }
+
+    run(pMinMax) { m =>
+      for {
+        lo <- parse(m.group(1), m.group(2))
+        hi <- parse(m.group(3), m.group(4))
+        if lo <= hi
+      } yield DetectedBudget(lo, hi, "normal_budget", "")
+    }
+    run(pMin) { m =>
+      parse(m.group(1), m.group(2)).map(v =>
+        DetectedBudget(v, 0L, "normal_budget", ""))
+    }
+    run(pMax) { m =>
+      parse(m.group(1), m.group(2)).map(v =>
+        DetectedBudget(0L, v, "normal_budget", ""))
+    }
+    run(pAny) { m =>
+      // bare amounts count as budget only with a money marker or scale
+      val span = m.group().strip()
+      val hasMarker = span.exists(c => c == '$') ||
+        Seq("rs", "rupee", "inr", "bucks").exists(span.contains) ||
+        m.group(2) != null
+      if (!hasMarker) None
+      else parse(m.group(1), m.group(2)).map(v =>
+        DetectedBudget(0L, v, "normal_budget", ""))
+    }
+
+    results.sortBy(_._1).map(_._2).toSeq
+  }
+}

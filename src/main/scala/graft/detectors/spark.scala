@@ -53,6 +53,43 @@ object functions {
     c => u(c)
   }
 
+  /** Dates need an explicit reference date (never the wall clock —
+    * deterministic at any time and parallelism). Output
+    * array<struct<dd:int, mm:int, yy:int, dtype:string, original:string>>.
+    */
+  def detect_dates(referenceDate: java.time.LocalDate): Column => Column = {
+    val refStr = referenceDate.toString
+    val u = udf((text: String) => {
+      if (text == null) Seq.empty[(Int, Int, Int, String, String)]
+      else new DateDetector(java.time.LocalDate.parse(refStr)).detect(text)
+        .map(d => (d.dd, d.mm, d.yy, d.dtype, d.original))
+    })
+    c => u(c)
+  }
+
+  val detect_times: Column => Column = {
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(Int, Int, String, String)]
+      else new TimeDetector().detect(text).map(t => (t.hh, t.mm, t.nn, t.original)))
+    c => u(c)
+  }
+
+  val detect_number_ranges: Column => Column = {
+    lazy val det = new NumberRangeDetector()
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(Option[String], Option[String], Option[String], String)]
+      else det.detect(text).map(r => (r.minValue, r.maxValue, r.unit, r.original)))
+    c => u(c)
+  }
+
+  val detect_budgets: Column => Column = {
+    lazy val det = new BudgetDetector()
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(Long, Long, String, String)]
+      else det.detect(text).map(b => (b.minBudget, b.maxBudget, b.btype, b.original)))
+    c => u(c)
+  }
+
   def detect_regex(pattern: String, maxMatches: Int = 50): Column => Column = {
     Pattern.validate(pattern)
     val u = udf((text: String) =>

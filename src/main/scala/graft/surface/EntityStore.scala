@@ -105,6 +105,23 @@ object EntityStore {
       dictionary(spark, storeDir).filter(
         !(col("entity_data") === entity && col("value").isin(values: _*))))
 
+  /** Delete-by-query (reference S7, populate.py:286-317): bool-must entity
+    * predicate + filter-context language terms.
+    */
+  def deleteWhere(spark: SparkSession, storeDir: String, entity: String,
+      languages: Seq[String]): SnapshotMeta =
+    commitDictionary(spark, storeDir,
+      dictionary(spark, storeDir).filter(
+        !(col("entity_data") === entity &&
+          col("language_script").isin(languages: _*))))
+
+  /** Records with missing/empty variants (reference P6: must_not + exists,
+    * query.py:230-237) — the data-quality probe used before cleanup.
+    */
+  def missingVariants(spark: SparkSession, storeDir: String): DataFrame =
+    dictionary(spark, storeDir)
+      .filter(col("variants").isNull || size(col("variants")) === 0)
+
   // ---- aggregations (reference A1/A2) ----
 
   /** Distinct values of an entity (terms agg on value.keyword,

@@ -128,6 +128,32 @@ object TextSurface {
     }.toMap
   }
 
+  final case class VerifiedDetection(entity: String, value: String,
+      original_text: String, detection: String, language: String,
+      datastoreVerified: Boolean, modelVerified: Boolean)
+
+  /** R5 — merge datastore detections with pre-detected (model) values
+    * (reference combine_results, text_detection.py:516-560): datastore hits
+    * are marked datastore_verified; a predetected value survives only if its
+    * original text is NOT a word-bounded substring of any datastore
+    * original (the datastore hit subsumes it).
+    */
+  def combineResults(datastore: Seq[Detection],
+      predetected: Seq[Detection]): Seq[VerifiedDetection] = {
+    val ds = datastore.map(d => VerifiedDetection(d.entity, d.value,
+      d.original_text, d.detection, d.language,
+      datastoreVerified = true, modelVerified = false))
+    val kept = predetected.filter { p =>
+      val pat = java.util.regex.Pattern.compile(
+        raw"\b" + java.util.regex.Pattern.quote(p.original_text) + raw"\b")
+      !datastore.exists(d =>
+        d.entity == p.entity && pat.matcher(d.original_text).find())
+    }.map(p => VerifiedDetection(p.entity, p.value, p.original_text,
+      "model_verified", p.language,
+      datastoreVerified = false, modelVerified = true))
+    ds ++ kept
+  }
+
   /** Bulk detection (the msearch path, queries batched —
     * elastic_search.py:153-163): one call per message for now; the engine
     * amortizes via the cached reader. TODO(next round): single multi-query
