@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analyzer.Analyzer
 import graft.index.PostingCodec
-import graft.query.{BM25, IndexReader}
+import graft.query.{BM25, IndexReader, Searcher}
 
 /** The `/v2/text` detection path (SURVEY.md §3.1) on the engine:
   *
@@ -154,13 +154,92 @@ object TextSurface {
     ds ++ kept
   }
 
-  /** Bulk detection (the msearch path, queries batched —
-    * elastic_search.py:153-163): one call per message for now; the engine
-    * amortizes via the cached reader. TODO(next round): single multi-query
-    * pass over postings.
+  /** Bulk variant search — the msearch batch fusion (reference
+    * elastic_search.py:153-163, rewrite noted at SURVEY §4.1): ALL messages'
+    * terms resolve once, the postings of the union term set decode in ONE
+    * pass, and scoring fans back out per message via a broadcast
+    * (message, term) join. One job for N messages instead of N jobs.
+    */
+  def searchVariantsBulk(spark: SparkSession, storeDir: String,
+      messages: Seq[String], entities: Seq[String],
+      languages: Seq[String] = Seq("en"), fuzzy: Boolean = true,
+      size: Int = 1000): Seq[Seq[VariantHit]] = {
+    import spark.implicits._
+    val reader = IndexReader.open(spark, storeDir)
+    val meta = reader.meta
+    val resolved: Seq[Searcher.ResolvedQuery] =
+      messages.map(m => reader.resolve(m, fuzzy))
+    val allTerms = resolved.flatMap(_.terms).distinctBy(_.term)
+    if (allTerms.isEmpty) return messages.map(_ => Seq.empty)
+    val bm25 = BM25(meta.k1, meta.b)
+    val idf = allTerms.map(t => t.term -> bm25.idf(t.df, meta.numDocs)).toMap
+    val idfB = spark.sparkContext.broadcast(idf)
+    val termNames = allTerms.map(_.term)
+
+    // (msgId, term) fan-out table — tiny, broadcast side of the join
+    val msgTerms = resolved.zipWithIndex
+      .flatMap { case (rq, i) => rq.terms.map(t => (i, t.term)) }
+      .toDF("msgId", "term")
+
+    val contributions = spark.read
+      .schema(graft.index.IndexSchemas.segments)
+      .parquet(meta.segmentsDir(storeDir))
+      .filter(col("term").isin(termNames: _*))
+      .select("term", "postings").as[(String, Array[Byte])]
+      .flatMap { case (term, postings) =>
+        PostingCodec.decode(postings).iterator
+          .map(p => (p.docId, term, idfB.value(term) * bm25.tfWeight(p.tf, 0.0)))
+      }
+      .toDF("docId", "term", "contrib")
+
+    val scored = contributions
+      .join(broadcast(msgTerms), "term")
+      .groupBy("msgId", "docId")
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"),
+        collect_set("term").as("matched"))
+      .withColumn("score",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
+      .select("msgId", "docId", "score", "matched")
+
+    val docs = spark.read.schema(graft.index.IndexSchemas.docs)
+      .parquet(meta.docsDir(storeDir))
+      .filter(col("repo").isin(entities: _*) &&
+        (if (languages.nonEmpty) col("lang").isin(languages: _*) else lit(true)))
+      .select(col("docId"), col("repo").as("entity"), col("path").as("value"),
+        col("commit").as("variant"), map_keys(col("tfs")).as("variantTerms"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("msgId").orderBy(desc("score"), asc("docId"))
+    val rows = docs.join(scored, "docId")
+      .filter(forall(col("variantTerms"), t => array_contains(col("matched"), t)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= size)
+      .select("msgId", "entity", "value", "variant", "score", "docId")
+      .orderBy(col("msgId"), desc("score"), asc("docId"))
+      .as[(Int, String, String, String, Double, Long)]
+      .collect()
+
+    val byMsg = rows.groupBy(_._1)
+    messages.indices.map { i =>
+      byMsg.getOrElse(i, Array.empty)
+        .map(r => VariantHit(r._2, r._3, r._4, r._5)).toSeq
+    }
+  }
+
+  /** Bulk detection (the reference's detect_bulk): one fused engine pass,
+    * then per-message R2/R3 post-processing.
     */
   def detectBulk(spark: SparkSession, storeDir: String, messages: Seq[String],
       entities: Seq[String], languages: Seq[String] = Seq("en"),
-      fuzzy: Boolean = true): Seq[Map[String, Seq[Detection]]] =
-    messages.map(m => detect(spark, storeDir, m, entities, languages, fuzzy))
+      fuzzy: Boolean = true, lo: Int = 4, hi: Int = 7,
+      minTokenSize: Int = 4): Seq[Map[String, Seq[Detection]]] = {
+    val language = languages.headOption.getOrElse("en")
+    val hitsPerMsg = searchVariantsBulk(spark, storeDir, messages, entities,
+      languages, fuzzy)
+    messages.zip(hitsPerMsg).map { case (message, hits) =>
+      postProcess(hits, Analyzer.lower(message), entities, language, lo, hi,
+        minTokenSize)
+    }
+  }
 }

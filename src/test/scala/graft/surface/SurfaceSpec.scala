@@ -117,6 +117,22 @@ class SurfaceSpec extends SparkTestBase {
     assert(m3.version == m2.version + 1)
   }
 
+  test("bulk detection equals per-message detection (msearch fusion)") {
+    val messages = Seq(
+      "book a flight to Chennai",
+      "I will visit Delehi next year",
+      "best pizza in mumbai or bangalore",
+      "nothing to see here",
+      "dosa in madras")
+    val bulk = TextSurface.detectBulk(spark, storeDir, messages,
+      Seq("city", "cuisine"))
+    val single = messages.map(m =>
+      TextSurface.detect(spark, storeDir, m, Seq("city", "cuisine")))
+    assert(bulk == single)
+    assert(bulk(0)("city").map(_.value) == Seq("Chennai"))
+    assert(bulk(3).values.forall(_.isEmpty))
+  }
+
   test("alignment unit behavior matches reference doc examples") {
     assert(Alignment.entitySubstring(
       "come to chennai, tamil nadu, i will visit delehi next year", "chennai")
