@@ -259,6 +259,36 @@ object SparkEntry {
       Similarity.lshKnn(bucketed, "embedding", "vec_id", qv, 10, nBits = 8)
     }),
 
+    "q_entity_detect" -> ((s, d) => {
+      // full chatbot_ner detection path over the documents table as the
+      // message stream: dictionary search + fuzzy alignment + greedy spans
+      import graft.surface.{EntityStore, TextSurface}
+      import s.implicits._
+      val storeDir = s"/tmp/graft_store_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (graft.index.Snapshot.currentVersion(storeDir).isEmpty) {
+        val dict = Seq(
+          ("dbop", "Spark", Seq("spark", "sprk"), "en"),
+          ("dbop", "Merge", Seq("merge", "mrege"), "en"),
+          ("dbop", "Window", Seq("window"), "en"),
+          ("dbop", "Filter", Seq("filter"), "en"),
+          ("size", "Big", Seq("big", "huge"), "en"),
+          ("size", "Small", Seq("small", "tiny"), "en")
+        ).toDF("entity_data", "value", "variants", "language_script")
+        EntityStore.commitDictionary(s, storeDir, dict)
+      }
+      val msgs = table(s, d, "documents").select("doc_id", "text")
+        .orderBy("doc_id").as[(Long, String)].collect()
+      val detections = TextSurface.detectBulk(s, storeDir,
+        msgs.map(_._2).toSeq, Seq("dbop", "size"))
+      msgs.map(_._1).zip(detections).flatMap { case (id, byEntity) =>
+        byEntity.toSeq.flatMap { case (entity, ds) =>
+          ds.map(det => (id, entity, det.value))
+        }
+      }.toSeq.toDF("doc_id", "entity", "value")
+        .groupBy("entity", "value").agg(count(lit(1)).as("cnt"))
+        .orderBy("entity", "value")
+    }),
+
     // ---- engine-native (rows-only: verified by in-repo oracle tests) ----
     "q_bm25_topk" -> ((s, d) => bm25TopK(s, d, "spark merge query window", 100, fuzzy = false)),
     "q_bm25_fuzzy" -> ((s, d) => bm25TopK(s, d, "sprak mrege qurey", 50, fuzzy = true)),

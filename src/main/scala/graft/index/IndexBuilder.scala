@@ -89,6 +89,10 @@ object IndexBuilder {
       indexDir: String,
       cfg: IndexConfig = IndexConfig(),
       versionOpt: Option[Int] = None): SnapshotMeta = {
+    require(cfg.b == 0.0,
+      "v1 supports norms-off BM25 only (b = 0, the reference's mode — " +
+        "create.py:177 disables field-length norms); doclen-aware scoring " +
+        "needs per-posting norms in the codec (planned)")
     val spark = corpus.sparkSession
     import spark.implicits._
 
