@@ -34,6 +34,25 @@ object ParityCheck {
       }
     }
     println(s"[parity] $ok/${queries.length} rank-identical at k=$k over ${graft.index.Snapshot.load(dir).get.numDocs} docs")
+
+    // cross-parallelism determinism: a second index dir (same corpus, built
+    // at a different core count) must answer every query identically and
+    // carry the same corpus stats (north_rule N vs 4N determinism)
+    args.lift(2).foreach { otherDir =>
+      val m1 = graft.index.Snapshot.load(dir).get
+      val m2 = graft.index.Snapshot.load(otherDir).get
+      val statsOk = m1.numDocs == m2.numDocs && m1.avgDocLen == m2.avgDocLen &&
+        m1.corpusFingerprint == m2.corpusFingerprint
+      println(s"[parity] cross-index stats identical: $statsOk")
+      var xok = 0
+      for (q <- queries) {
+        val h1 = Searcher.searchHits(spark, dir, Searcher.resolve(spark, dir, q), k).toSeq
+        val h2 = Searcher.searchHits(spark, otherDir, Searcher.resolve(spark, otherDir, q), k).toSeq
+        if (h1 == h2) xok += 1
+        else println(s"[parity] XDIFF '$q': ${h1.take(2)} vs ${h2.take(2)}")
+      }
+      println(s"[parity] $xok/${queries.length} identical across build parallelisms")
+    }
     spark.stop()
   }
 }
