@@ -265,7 +265,8 @@ object SparkEntry {
       import graft.surface.{EntityStore, TextSurface}
       import s.implicits._
       val storeDir = s"/tmp/graft_store_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-      if (graft.index.Snapshot.currentVersion(storeDir).isEmpty) {
+      if (!graft.index.Snapshot.load(storeDir)
+          .exists(_.formatVersion == graft.index.Snapshot.CurrentFormatVersion)) {
         val dict = Seq(
           ("dbop", "Spark", Seq("spark", "sprk"), "en"),
           ("dbop", "Merge", Seq("merge", "mrege"), "en"),

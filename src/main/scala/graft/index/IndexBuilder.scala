@@ -386,8 +386,14 @@ object IndexBuilder {
     meta
   }
 
-  /** Resolve-or-build: readers get the committed snapshot if one exists. */
+  /** Resolve-or-build: readers get the committed snapshot if one exists AND
+    * its on-disk format matches this code (older formats rebuild as a new
+    * generation — the old one stays readable by old code, pointer-swap
+    * semantics as usual).
+    */
   def buildIfAbsent(corpus: => DataFrame, indexDir: String,
       cfg: IndexConfig = IndexConfig()): SnapshotMeta =
-    Snapshot.load(indexDir).getOrElse(build(corpus, indexDir, cfg))
+    Snapshot.load(indexDir)
+      .filter(_.formatVersion == Snapshot.CurrentFormatVersion)
+      .getOrElse(build(corpus, indexDir, cfg))
 }

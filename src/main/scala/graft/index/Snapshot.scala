@@ -23,7 +23,8 @@ final case class SnapshotMeta(
     k1: Double,
     b: Double,
     corpusFingerprint: Long,
-    hotTerms: Map[String, Int]) {
+    hotTerms: Map[String, Int],
+    formatVersion: Int = Snapshot.CurrentFormatVersion) {
 
   def docsDir(indexDir: String) = s"$indexDir/v$version/docs"
   def segmentsDir(indexDir: String) = s"$indexDir/v$version/segments"
@@ -39,7 +40,8 @@ final case class SnapshotMeta(
     } + "\""
     val hot = hotTerms.toSeq.sortBy(_._1)
       .map { case (t, s) => s"${q(t)}:$s" }.mkString("{", ",", "}")
-    s"""{"version":$version,"numDocs":$numDocs,"avgDocLen":$avgDocLen,""" +
+    s"""{"version":$version,"formatVersion":$formatVersion,""" +
+      s""""numDocs":$numDocs,"avgDocLen":$avgDocLen,""" +
       s""""numBuckets":$numBuckets,"saltThreshold":$saltThreshold,""" +
       s""""maxSalts":$maxSalts,"k1":$k1,"b":$b,""" +
       s""""corpusFingerprint":$corpusFingerprint,"hotTerms":$hot}"""
@@ -47,6 +49,12 @@ final case class SnapshotMeta(
 }
 
 object Snapshot {
+
+  /** On-disk format generation: bump when the posting codec, docId scheme,
+    * or table schemas change incompatibly; readers of older formats rebuild
+    * (buildIfAbsent treats them as absent).
+    */
+  val CurrentFormatVersion = 2
 
   private def metaDir(indexDir: String): Path = Paths.get(indexDir, "meta")
 
@@ -77,6 +85,10 @@ object Snapshot {
     * map). Avoids any external JSON dependency (offline build).
     */
   private[index] def parse(json: String): SnapshotMeta = {
+    def fieldOpt(name: String): Option[String] = {
+      val key = "\"" + name + "\":"
+      if (json.indexOf(key) < 0) None else Some(field(name))
+    }
     def field(name: String): String = {
       val key = "\"" + name + "\":"
       val i = json.indexOf(key)
@@ -131,7 +143,8 @@ object Snapshot {
       k1 = field("k1").trim.toDouble,
       b = field("b").trim.toDouble,
       corpusFingerprint = field("corpusFingerprint").trim.toLong,
-      hotTerms = hot)
+      hotTerms = hot,
+      formatVersion = fieldOpt("formatVersion").map(_.trim.toInt).getOrElse(0))
   }
 
   def listVersions(indexDir: String): Seq[Int] = {
