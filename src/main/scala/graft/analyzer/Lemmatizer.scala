@@ -1,0 +1,70 @@
+package graft.analyzer
+
+/** Light English lemmatizer — the optional analyzer filter slot the
+  * reference fills with WordNet (lib/nlp/lemmatizer.py). WordNet itself is a
+  * large external resource; this is a dictionary-of-irregulars + suffix-rule
+  * lemmatizer covering the inflections that matter for matching, documented
+  * as a divergence (the analyzer DEFAULT remains the Porter chain — the
+  * lemmatizer is opt-in, exactly like the reference's).
+  */
+object Lemmatizer {
+
+  private val irregular: Map[String, String] = Map(
+    // verbs
+    "was" -> "be", "were" -> "be", "been" -> "be", "is" -> "be", "are" -> "be",
+    "am" -> "be", "had" -> "have", "has" -> "have", "did" -> "do",
+    "done" -> "do", "went" -> "go", "gone" -> "go", "ran" -> "run",
+    "said" -> "say", "made" -> "make", "took" -> "take", "taken" -> "take",
+    "came" -> "come", "saw" -> "see", "seen" -> "see", "got" -> "get",
+    "gotten" -> "get", "wrote" -> "write", "written" -> "write",
+    "found" -> "find", "gave" -> "give", "given" -> "give",
+    "told" -> "tell", "left" -> "leave", "built" -> "build",
+    "sent" -> "send", "held" -> "hold", "kept" -> "keep", "paid" -> "pay",
+    "met" -> "meet", "ate" -> "eat", "eaten" -> "eat",
+    // nouns
+    "children" -> "child", "men" -> "man", "women" -> "woman",
+    "people" -> "person", "feet" -> "foot", "teeth" -> "tooth",
+    "mice" -> "mouse", "geese" -> "goose", "indices" -> "index",
+    "matrices" -> "matrix", "vertices" -> "vertex", "leaves" -> "leaf",
+    "lives" -> "life", "knives" -> "knife")
+
+  private val vowels = "aeiou".toSet
+
+  /** Lemmatize a lowercase word. */
+  def lemma(w: String): String = {
+    if (w.length < 3) return w
+    irregular.get(w).getOrElse {
+      if (w.endsWith("ies") && w.length > 4) w.dropRight(3) + "y"
+      else if (w.endsWith("sses") || w.endsWith("shes") || w.endsWith("ches") ||
+        w.endsWith("xes") || w.endsWith("zes")) w.dropRight(2)
+      else if (w.endsWith("ss")) w
+      else if (w.endsWith("s") && !w.endsWith("us") && !w.endsWith("is")) w.dropRight(1)
+      else if (w.endsWith("ing") && w.length > 5) {
+        val stem = w.dropRight(3)
+        undouble(restoreE(stem))
+      } else if (w.endsWith("ed") && w.length > 4) {
+        val stem = w.dropRight(2)
+        undouble(restoreE(stem))
+      } else w
+    }
+  }
+
+  /** running → run, stopped → stop (doubled final consonant). */
+  private def undouble(s: String): String =
+    if (s.length >= 3 && s.last == s(s.length - 2) &&
+      !vowels.contains(s.last) && s.last != 'l' && s.last != 's') s.dropRight(1)
+    else s
+
+  /** maked? no — making → make: restore silent e after C-V-C + e-dropping
+    * suffixes when the stem ends consonant preceded by single vowel
+    * preceded by consonant (heuristic).
+    */
+  private def restoreE(s: String): String =
+    if (s.length >= 3 && !vowels.contains(s.last) &&
+      vowels.contains(s(s.length - 2)) && !vowels.contains(s(s.length - 3)) &&
+      (s.last == 'k' || s.last == 'v' || s.last == 'c' || s.last == 'g' ||
+        s.last == 's' || s.last == 'z' || s.last == 'u')) s + "e"
+    else s
+
+  def lemmatize(tokens: Array[String]): Array[String] = tokens.map(lemma)
+}

@@ -56,6 +56,8 @@ final class DateDetector(referenceDate: LocalDate,
     raw"\b(?:in|after)\s+(\d{1,3})\s+days?\b|\b(\d{1,3})\s+days?\s+(?:later|from now)\b")
   private val weekdayRef = Pattern.compile(
     raw"\b(next|this|coming|last)?\s*($weekdayAlt)\b")
+  private val recurrent = Pattern.compile(
+    raw"\b(everyday|daily|every\s+day)\b|\bevery\s+($weekdayAlt)\b")
 
   private def out(d: LocalDate, dtype: String, original: String) =
     DetectedDate(d.getDayOfMonth, d.getMonthValue, d.getYear, dtype, original)
@@ -170,6 +172,22 @@ final class DateDetector(referenceDate: LocalDate,
       while (m.find()) {
         val n = (if (m.group(1) != null) m.group(1) else m.group(2)).toInt
         found += out(referenceDate.plusDays(n.toLong), "date", m.group().strip())
+      }
+      found.foreach(add)
+    }
+    // 5b. recurrent forms: "everyday"/"daily" (type everyday), "every
+    // monday" (type repeat_day resolved to the next occurrence) — reference
+    // TYPE_EVERYDAY / repeat-day semantics
+    locally {
+      val m = recurrent.matcher(processed)
+      val found = ListBuffer.empty[DetectedDate]
+      while (m.find()) {
+        if (m.group(2) != null) {
+          val d = nextWeekday(referenceDate, weekdays(m.group(2)), strictNext = false)
+          found += out(d, "repeat_day", m.group().strip())
+        } else {
+          found += out(referenceDate, "everyday", m.group().strip())
+        }
       }
       found.foreach(add)
     }

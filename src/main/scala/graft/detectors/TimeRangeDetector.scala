@@ -1,0 +1,88 @@
+package graft.detectors
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ListBuffer
+
+/** Time-range classification over TimeDetector output (reference 12h range
+  * formats, ner_v2/detectors/temporal/time/en/time_detection.py):
+  * "7 pm to 9 pm", "between 7 and 9 pm" (meridiem distributes to the open
+  * side), "from 19:00 till 21:00". Lone times pass through as `normal`.
+  */
+final case class DetectedTimeRange(start: Option[DetectedTime],
+    end: Option[DetectedTime], rangeType: String, original: String)
+
+final class TimeRangeDetector {
+
+  private val td = new TimeDetector()
+  private val ph = raw"__dtime_(\d+)__"
+  private val pPair = Pattern.compile(
+    raw"(?:from\s+|between\s+)?$ph\s*(?:to|till|until|and|-)\s*$ph")
+  private val pStart = Pattern.compile(raw"(?:from|after|starting)\s+$ph")
+  private val pEnd = Pattern.compile(raw"(?:until|till|before|by)\s+$ph")
+  private val pLone = Pattern.compile(ph)
+
+  def detect(text0: String): Seq[DetectedTimeRange] = {
+    val lowered = text0.toLowerCase(java.util.Locale.ROOT)
+    val times = td.detect(lowered)
+
+    var tagged = lowered
+    val byIdx = times.zipWithIndex.map { case (t, i) =>
+      val m = Pattern.compile(Pattern.quote(t.original)).matcher(tagged)
+      if (m.find()) {
+        tagged = tagged.substring(0, m.start()) + s"__dtime_${i}__" +
+          tagged.substring(m.end())
+      }
+      i -> t
+    }.toMap
+
+    val results = ListBuffer.empty[(Int, DetectedTimeRange)]
+
+    def original(span: String): String =
+      raw"__dtime_(\d+)__".r.replaceAllIn(span,
+        m => java.util.regex.Matcher.quoteReplacement(byIdx(m.group(1).toInt).original))
+
+    def run(p: Pattern)(mk: java.util.regex.Matcher => DetectedTimeRange): Unit = {
+      val m = p.matcher(tagged)
+      val found = ListBuffer.empty[(String, DetectedTimeRange)]
+      while (m.find()) found += ((m.group(), mk(m)))
+      for ((span, r) <- found) {
+        val mm = Pattern.compile(Pattern.quote(span)).matcher(tagged)
+        if (mm.find()) {
+          results += ((mm.start(), r))
+          tagged = tagged.substring(0, mm.start()) + "__time_range__" +
+            tagged.substring(mm.end())
+        }
+      }
+    }
+
+    /** "between 7 and 9 pm": the open side (nn=hrs from a bare hour) takes
+      * the closed side's meridiem — the 12h range distribution rule.
+      */
+    def distribute(a: DetectedTime, b: DetectedTime): (DetectedTime, DetectedTime) = {
+      if (a.nn == "hrs" && (b.nn == "am" || b.nn == "pm") && a.hh <= 12)
+        (a.copy(nn = b.nn), b)
+      else if (b.nn == "hrs" && (a.nn == "am" || a.nn == "pm") && b.hh <= 12)
+        (a, b.copy(nn = a.nn))
+      else (a, b)
+    }
+
+    run(pPair) { m =>
+      val (s, e) = distribute(byIdx(m.group(1).toInt), byIdx(m.group(2).toInt))
+      DetectedTimeRange(Some(s), Some(e), "range", original(m.group()))
+    }
+    run(pStart) { m =>
+      DetectedTimeRange(Some(byIdx(m.group(1).toInt)), None, "start_range",
+        original(m.group()))
+    }
+    run(pEnd) { m =>
+      DetectedTimeRange(None, Some(byIdx(m.group(1).toInt)), "end_range",
+        original(m.group()))
+    }
+    run(pLone) { m =>
+      val t = byIdx(m.group(1).toInt)
+      DetectedTimeRange(Some(t), Some(t), "normal", original(m.group()))
+    }
+
+    results.sortBy(_._1).map(_._2).toSeq
+  }
+}

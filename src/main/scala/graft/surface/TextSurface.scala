@@ -23,6 +23,10 @@ import graft.query.{BM25, IndexReader, Searcher}
   */
 object TextSurface {
 
+  /** R8 request limits (reference ner_constants.py:73-74). */
+  val MaxBulkMessages = 100
+  val MaxEntities = 150
+
   final case class VariantHit(entity: String, value: String, variant: String,
       score: Double)
   final case class Detection(entity: String, value: String,
@@ -164,6 +168,10 @@ object TextSurface {
       messages: Seq[String], entities: Seq[String],
       languages: Seq[String] = Seq("en"), fuzzy: Boolean = true,
       size: Int = 1000): Seq[Seq[VariantHit]] = {
+    require(messages.length <= MaxBulkMessages,
+      s"at most $MaxBulkMessages messages per bulk request (reference R8)")
+    require(entities.length <= MaxEntities,
+      s"at most $MaxEntities entities per request (reference R8)")
     import spark.implicits._
     val reader = IndexReader.open(spark, storeDir)
     val meta = reader.meta

@@ -1,0 +1,49 @@
+package graft.detectors
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analyzer.Lemmatizer
+
+class TimeRangeLemmaSpec extends AnyFunSuite {
+
+  private val tr = new TimeRangeDetector()
+
+  test("time ranges: pair, open, normal") {
+    val r = tr.detect("open 7 pm to 9 pm daily")
+    assert(r.head.rangeType == "range")
+    assert(r.head.start.map(t => (t.hh, t.nn)).contains((7, "pm")))
+    assert(r.head.end.map(t => (t.hh, t.nn)).contains((9, "pm")))
+    val r2 = tr.detect("from 19:00 till 21:30")
+    assert(r2.head.rangeType == "range")
+    assert(r2.head.start.map(_.hh).contains(19) && r2.head.end.map(_.mm).contains(30))
+    val r3 = tr.detect("by 10:00 am")
+    assert(r3.head.rangeType == "end_range")
+    assert(tr.detect("at 8:15 pm").head.rangeType == "normal")
+  }
+
+  test("recurrent date forms") {
+    val dd = new DateDetector(LocalDate.of(2026, 8, 16)) // Sunday
+    val r = dd.detect("gym every monday and yoga daily")
+    assert(r.map(_.dtype) == Seq("repeat_day", "everyday"))
+    assert(r.head.dd == 17) // next monday
+    assert(dd.detect("everyday at dawn").head.dtype == "everyday")
+  }
+
+  test("light lemmatizer: irregulars + suffix rules") {
+    val cases = Seq(
+      "children" -> "child", "went" -> "go", "indices" -> "index",
+      "running" -> "run", "stopped" -> "stop", "making" -> "make",
+      "moved" -> "move", "cities" -> "city", "boxes" -> "box",
+      "classes" -> "class", "cats" -> "cat", "glass" -> "glass",
+      "walked" -> "walk", "was" -> "be")
+    for ((in, want) <- cases) assert(Lemmatizer.lemma(in) == want, in)
+  }
+
+  test("R8 limits enforced on bulk requests") {
+    val spark = graft.TestSpark.spark
+    intercept[IllegalArgumentException] {
+      graft.surface.TextSurface.searchVariantsBulk(spark, "/nonexistent",
+        (1 to 101).map(_.toString), Seq("x"))
+    }
+  }
+}
