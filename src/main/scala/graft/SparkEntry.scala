@@ -279,8 +279,12 @@ object SparkEntry {
       }
       val msgs = table(s, d, "documents").select("doc_id", "text")
         .orderBy("doc_id").as[(Long, String)].collect()
-      val detections = TextSurface.detectBulk(s, storeDir,
-        msgs.map(_._2).toSeq, Seq("dbop", "size"))
+      // respect the reference's 100-message bulk cap (R8): chunked msearch
+      val detections = msgs.map(_._2).toSeq
+        .grouped(TextSurface.MaxBulkMessages)
+        .flatMap(chunk => TextSurface.detectBulk(s, storeDir, chunk,
+          Seq("dbop", "size")))
+        .toSeq
       msgs.map(_._1).zip(detections).flatMap { case (id, byEntity) =>
         byEntity.toSeq.flatMap { case (entity, ds) =>
           ds.map(det => (id, entity, det.value))
