@@ -90,8 +90,9 @@ object Bench {
     {
       rmrf(new java.io.File("/tmp/graft_bench_warm"))
       withSession(8) { spark =>
-        IndexBuilder.build(CodeCorpus.generate(spark, 100000, seed = 1L,
-          partitions = 16), "/tmp/graft_bench_warm", cfg)
+        IndexBuilder.build(CodeCorpus.generate(spark, 30000, seed = 1L,
+          partitions = 16), "/tmp/graft_bench_warm",
+          cfg.copy(saltThreshold = 4000L))
       }
     }
     val t8 = buildAt(8, "/tmp/graft_bench_idx8")
