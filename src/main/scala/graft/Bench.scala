@@ -8,17 +8,28 @@ import graft.query.Searcher
 
 /** Benchmark driver. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "index_build":{...},"query_latency_ms":{...}}
+  *  "index_build":{...},"query_latency_ms":{...},"query_status":{...}}
   *
   * Three phases:
   *  1. scaling: the SAME deterministic stored corpus index-built at
   *     local[2] and local[8] (sandbox proxy for N vs 4N executors —
-  *     BASELINE.md; the shared host's noisy neighbor makes 32 threads
+  *     BENCH/BASELINE.md; the shared host's noisy neighbor makes 32 threads
   *     measure contention, not scaling); reports docs/sec at both and
   *     scaling efficiency (thr_4N/thr_N)/4.
+  *
+  *     Contention robustness (the host is shared — load average ~8-12 at
+  *     "idle", with spikes): each parallelism point is measured as the MIN
+  *     of 3 trials, interleaved (8,2,8,2,8,2) so a load spike cannot bias
+  *     one point only. Contention strictly adds wall time, so min is the
+  *     unbiased estimator of the engine's own cost. Before each trial a
+  *     load probe waits (bounded) for a quiet window; the observed loadavg
+  *     is recorded per trial, and per-stage build timings are emitted for
+  *     the chosen (min) trials, so a degraded run is diagnosable from the
+  *     JSON alone.
   *  2. query latency: the reference query set against the built index,
   *     repeated; reports p50/p95 per the BASELINE.json metric.
-  *  3. driver-contract queries over SPARK_GRAFT_SF_DIR.
+  *  3. driver-contract queries over SPARK_GRAFT_SF_DIR. Failures are NOT
+  *     swallowed: per-query ok/err lands in "query_status".
   */
 object Bench {
 
@@ -50,10 +61,43 @@ object Bench {
     p.delete()
   }
 
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Wait (bounded) for the 1-min load average to dip below `target`, so a
+    * trial starts in a quiet window when one exists; returns the load seen
+    * at trial start (diagnosable evidence either way).
+    */
+  private def waitForQuiet(target: Double, maxWaitSec: Int): Double = {
+    val deadline = System.currentTimeMillis() + maxWaitSec * 1000L
+    var l = loadAvg()
+    while (l > target && System.currentTimeMillis() < deadline) {
+      Thread.sleep(5000)
+      l = loadAvg()
+    }
+    l
+  }
+
+  private def n(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  final case class Trial(sec: Double, load: Double,
+      stages: Map[String, Double])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong
+    val trialsPerPoint = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
 
     val queriesForLatency = Seq(
       "import spark", "def merge", "posting merge segment",
@@ -74,14 +118,20 @@ object Bench {
     }
     val cfg = IndexConfig(numBuckets = 64, saltThreshold = scaleDocs / 8,
       maxSalts = 16)
-    def buildAt(cores: Int, dir: String): Double = {
+    def buildTrial(cores: Int, dir: String): Trial = {
       rmrf(new java.io.File(dir))
-      withSession(cores) { spark =>
+      // quiet-window probe: need ~`cores` free of 32; neighbor idles at
+      // ~8-12 busy, so target 20 leaves 12 free. Bounded wait: 90 s.
+      val load = waitForQuiet(target = 20.0, maxWaitSec = 90)
+      val stages = scala.collection.mutable.Map.empty[String, Double]
+      val sec = withSession(cores) { spark =>
         val corpus = spark.read.parquet(corpusPath)
         val t0 = System.nanoTime()
-        IndexBuilder.build(corpus, dir, cfg)
+        IndexBuilder.build(corpus, dir, cfg,
+          onStageTime = (label, s) => stages(label) = s)
         (System.nanoTime() - t0) / 1e9
       }
+      Trial(sec, load, stages.toMap)
     }
     // N vs 4N parallelism: local[2] vs local[8]. The sandbox host carries a
     // noisy neighbor (~10 busy cores at "idle"); 8 threads fit the free
@@ -95,10 +145,17 @@ object Bench {
           cfg.copy(saltThreshold = 4000L))
       }
     }
-    val t8 = buildAt(8, "/tmp/graft_bench_idx8")
-    val t2 = buildAt(2, "/tmp/graft_bench_idx2")
-    val thr8 = scaleDocs / t8
-    val thr2 = scaleDocs / t2
+    // interleaved trials: a load spike hits both points, not just one
+    val t8s = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    val t2s = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    for (_ <- 1 to trialsPerPoint) {
+      t8s += buildTrial(8, "/tmp/graft_bench_idx8")
+      t2s += buildTrial(2, "/tmp/graft_bench_idx2")
+    }
+    val best8 = t8s.minBy(_.sec)
+    val best2 = t2s.minBy(_.sec)
+    val thr8 = scaleDocs / best8.sec
+    val thr2 = scaleDocs / best2.sec
     val eff = (thr8 / thr2) / 4.0
 
     // ---- phase 2: query latency over the built index ----
@@ -120,25 +177,42 @@ object Bench {
     }
 
     // ---- phase 3: driver-contract queries on sfDir ----
+    // failures are recorded, never swallowed as fast successes
     val results = withSession(cpus) { spark =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
-        name -> (System.nanoTime() - t0) / 1e9
+        val status =
+          try { fn(spark, sfDir).collect(); "ok" }
+          catch { case e: Throwable =>
+            "err: " + Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(160)
+          }
+        (name, (System.nanoTime() - t0) / 1e9, status)
       }
     }
 
-    def n(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + n(v) }
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + n(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + t8 + t2
+    val qStatus = results.map { case (k, _, st) => jstr(k) + ":" + jstr(st) }
+      .mkString("{", ",", "}")
+    def stagesJson(t: Trial): String =
+      t.stages.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + n(v) }.mkString("{", ",", "}")
+    def trialsJson(ts: Seq[Trial]): String =
+      ts.map(t => s"""{"sec":${n(t.sec)},"load_at_start":${n(t.load)}}""")
+        .mkString("[", ",", "]")
+    val total = results.map(_._2).sum + t8s.map(_.sec).sum + t2s.map(_.sec).sum
     println(
       s"""{"metric":"total","value":${n(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","index_build":{"docs":$scaleDocs,""" +
         s""""n_cores":2,"fourn_cores":8,""" +
-        s""""n_sec":${n(t2)},"fourn_sec":${n(t8)},""" +
+        s""""n_sec":${n(best2.sec)},"fourn_sec":${n(best8.sec)},""" +
         s""""n_docs_per_sec":${n(thr2)},"fourn_docs_per_sec":${n(thr8)},""" +
-        s""""scaling_efficiency":${n(eff)}},""" +
-        s""""query_latency_ms":{"p50":${n(p50)},"p95":${n(p95)},"qps":${n(qps)}}}""")
+        s""""scaling_efficiency":${n(eff)},""" +
+        s""""trials":$trialsPerPoint,"estimator":"min-of-trials (contention only adds time)",""" +
+        s""""n_trials":${trialsJson(t2s.toSeq)},"fourn_trials":${trialsJson(t8s.toSeq)},""" +
+        s""""n_stage_sec":${stagesJson(best2)},"fourn_stage_sec":${stagesJson(best8)}},""" +
+        s""""query_latency_ms":{"p50":${n(p50)},"p95":${n(p95)},"qps":${n(qps)}},""" +
+        s""""query_status":$qStatus}""")
   }
 }

@@ -88,7 +88,8 @@ object IndexBuilder {
       corpus: DataFrame,
       indexDir: String,
       cfg: IndexConfig = IndexConfig(),
-      versionOpt: Option[Int] = None): SnapshotMeta = {
+      versionOpt: Option[Int] = None,
+      onStageTime: (String, Double) => Unit = (_, _) => ()): SnapshotMeta = {
     require(cfg.b == 0.0,
       "v1 supports norms-off BM25 only (b = 0, the reference's mode — " +
         "create.py:177 disables field-length norms); doclen-aware scoring " +
@@ -111,8 +112,9 @@ object IndexBuilder {
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      if (verbose)
-        println(f"[build] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      onStageTime(label, sec)
+      if (verbose) println(f"[build] $label: $sec%.2f s")
       r
     }
 

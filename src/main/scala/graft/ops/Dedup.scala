@@ -4,12 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.CrossHash
+
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * All operators keep the canonical survivor = smallest id (deterministic at
   * any parallelism) and are shaped as joins/aggregations over key columns —
   * no driver-side materialization, no O(n²) pairing except within candidate
-  * buckets (the LSH contract).
+  * buckets (the LSH contract, with an explicit bucket-width cap).
+  *
+  * Hashing is md5-lower-64 (CrossHash) so the ENTIRE candidate generation is
+  * replayable in DuckDB SQL — the driver's oracle checks MinHash-LSH and
+  * SimHash end-to-end instead of rows-only.
   */
 object Dedup {
 
@@ -23,71 +29,114 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
 
-  /** Word shingles (n-gram strings) of the whitespace tokens — the input to
-    * MinHash / Jaccard. Pure column expression (codegen'd, no UDF).
+  /** Word shingles (n-gram strings) of the nonempty whitespace tokens — the
+    * input to MinHash / Jaccard. Pure column expression (codegen'd, no UDF).
+    * Tokenization matches `shinglesOf` and the DuckDB oracle exactly:
+    * split on \s+, drop empty tokens, distinct n-grams joined by ' '.
     */
   def shingles(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, "\\s+")
+    val toks = filter(split(textCol, "\\s+"), t => t =!= "")
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signatures + banded LSH candidate pairs + exact Jaccard verify.
+  /** JVM twin of [[shingles]] for single-pass UDFs. */
+  private[ops] def shinglesOf(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** MinHash signatures + banded LSH candidates + exact Jaccard verify.
     *
     * Pipeline (shuffles: one per stage, all on small keys):
-    *   shingle → numHashes permutation-min values (expression-only) →
-    *   band buckets → self-join within buckets → exact Jaccard on the
-    *   candidate pairs only.
+    *   single-pass signature UDF (one md5 per shingle + 2 multiplies per
+    *   hash function — NOT numHashes re-walks of the shingle array) →
+    *   band keys (signature slices) → bucket-width cap (buckets with more
+    *   than `maxBucketSize` members are skipped — the standard large-scale
+    *   guard: a degenerate bucket would otherwise explode the self-join
+    *   quadratically) → self-join within buckets → EXACT shingle Jaccard on
+    *   the candidate pairs only → threshold filter.
     *
-    * Returns (idA, idB, jaccard) for candidate pairs with jaccard >= minJaccard,
-    * idA < idB. Band/row parameters follow the standard S-curve: with
-    * numHashes = bands * rowsPerBand, P(candidate) = 1-(1-s^r)^b.
+    * Returns (idA, idB, inter, uni, jaccard) with idA < idB and
+    * jaccard = inter/uni the exact n-gram Jaccard (the estimate is only used
+    * to generate candidates). Band/row parameters follow the standard
+    * S-curve: with numHashes = bands * rowsPerBand,
+    * P(candidate) = 1-(1-s^r)^b.
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.8, seed: Long = 42L): DataFrame = {
+      minJaccard: Double = 0.8, seed: Long = 42L,
+      maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    val consts = CrossHash.deriveConstants(numHashes, seed)
+    val nH = numHashes
+    val shSize = shingleSize
 
-    val withShingles = df
-      .select(col(idCol).as("_id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-    // minhash_i = min over shingles of h_i(shingle); h_i = xxhash64(s, i, seed)
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("sh"), s => xxhash64(s, lit(i), lit(seed))))
+    val sigU = udf { (text: String) =>
+      val sh = shinglesOf(text, shSize)
+      if (sh.isEmpty) null
+      else {
+        val mins = Array.fill(nH)(-1L) // unsigned max
+        var j = 0
+        while (j < sh.length) {
+          val base = CrossHash.md5Lower64(sh(j))
+          var i = 0
+          while (i < nH) {
+            val (a, b) = consts(i)
+            val h = CrossHash.derive(base, a, b)
+            if (java.lang.Long.compareUnsigned(h, mins(i)) < 0) mins(i) = h
+            i += 1
+          }
+          j += 1
+        }
+        mins
+      }
     }
-    val withSig = withShingles.withColumn("sig", array(sigCols: _*))
 
-    // band buckets: hash of the band's signature slice
-    val bandRows = withSig.select(col("_id"), col("sig"),
+    val withSig = df
+      .select(col(idCol).as("_id"), sigU(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+
+    // band key = the band's signature slice (joined as a raw array — no
+    // re-hash, so the oracle's tuple-equality grouping is bit-identical)
+    val bandRows = withSig.select(col("_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(lit(b), array_join(
-            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-              v => v.cast("string")), ",")).as("bucket"))
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))
       }: _*)).as("bb"))
-      .select(col("_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("_id"), col("bb.band"), col("bb.key"))
 
-    // candidate pairs: self-join within (band, bucket); dedupe across bands
-    val a = bandRows.select(col("band"), col("bucket"),
-      col("_id").as("idA"), col("sig").as("sigA"))
-    val b = bandRows.select(col("band"), col("bucket"),
-      col("_id").as("idB"), col("sig").as("sigB"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    // bucket-width cap: skip degenerate buckets before the self-join
+    val wB = Window.partitionBy("band", "key")
+    val capped = bandRows.withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
+    val a = capped.select(col("band"), col("key"), col("_id").as("idA"))
+    val b = capped.select(col("band"), col("key"), col("_id").as("idB"))
+    val cand = a.join(b, Seq("band", "key"))
       .filter(col("idA") < col("idB"))
-      .select("idA", "idB", "sigA", "sigB")
+      .select("idA", "idB")
       .dropDuplicates("idA", "idB")
 
-    // signature-estimated Jaccard (fraction of agreeing minhashes)
-    cand.withColumn("jaccard",
-        aggregate(zip_with(col("sigA"), col("sigB"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+    // exact verify on candidates only (ADVICE round 1: the threshold must
+    // operate on the exact Jaccard, not the signature estimate)
+    val sh = df.select(col(idCol).as("_jid"),
+      shingles(col(textCol), shingleSize).as("_jsh"))
+    cand
+      .join(sh.withColumnRenamed("_jid", "idA").withColumnRenamed("_jsh", "shA"), Seq("idA"))
+      .join(sh.withColumnRenamed("_jid", "idB").withColumnRenamed("_jsh", "shB"), Seq("idB"))
+      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("long"))
+      .withColumn("uni", size(array_union(col("shA"), col("shB"))).cast("long"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0))
       .filter(col("jaccard") >= minJaccard)
-      .select("idA", "idB", "jaccard")
+      .select("idA", "idB", "inter", "uni", "jaccard")
   }
 
   /** Exact pairwise n-gram Jaccard for candidate pairs produced by any
@@ -108,27 +157,52 @@ object Dedup {
       .drop("shA", "shB")
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bit-majority
-    * vote weighted by tf. Near-dups = small Hamming distance. Expression-only
-    * construction: 64 per-bit partial sums folded via aggregate.
+  /** JVM SimHash kernel: 64-bit, per-occurrence bit-majority vote over
+    * nonempty whitespace tokens, token hash = md5-lower-64. ONE pass over
+    * the tokens computing all 64 votes (round 1 shipped 64 aggregate()
+    * expressions that re-walked the array 64 times and blew up janino —
+    * same lesson as TextAnalysis.langId).
+    */
+  private[ops] def simHash64(text: String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](64)
+    val toks = text.split("\\s+")
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val h = CrossHash.md5Lower64(toks(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over nonempty whitespace tokens: per-token md5-lower-64,
+    * bit-majority vote weighted by occurrence count. Near-dups = small
+    * Hamming distance.
     */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
-    // bit b of the simhash = sign of sum over tokens of (bit(h,b) ? 1 : -1)
-    val bits = (0 until 64).map { bIdx =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, bIdx).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), bIdx)).otherwise(lit(0L))
-    }
-    df.withColumn("simhash", bits.reduce((x, y) => x.bitwiseOR(y)))
+    val simU = udf((text: String) => simHash64(text))
+    df.withColumn("simhash", simU(col(textCol)))
   }
 
   /** Hamming distance between two 64-bit simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: block on 4 × 16-bit chunks (a pair within
-    * Hamming distance <= 3 must agree on at least one chunk — pigeonhole),
+    * Hamming distance <= 3 must agree on at least one chunk — pigeonhole;
+    * larger maxHamming keeps the same blocking and is best-effort beyond 3),
     * verify with exact Hamming. Standard scalable SimHash dedup layout.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,

@@ -42,63 +42,100 @@ object Similarity {
       .limit(k)
   }
 
-  /** Signed-random-projection LSH bucket id (nBits hyperplanes drawn from a
-    * seeded deterministic pseudo-gaussian — same bucket function at build and
-    * query time, any parallelism).
+  /** Signed-random-projection hyperplanes: nBits x dim components drawn from
+    * a seeded splitmix-like hash → in [-1, 1). Pure function of (seed, b, i),
+    * so build and query time agree at any parallelism. Materialized once as
+    * a primitive matrix: the bucket UDF does ONE pass of dim x nBits fused
+    * multiply-adds per row (a per-element expression chain would blow past
+    * janino method limits at dim 768 and re-walk the array nBits times).
     */
-  def srpBucket(vecCol: Column, dim: Int, nBits: Int, seed: Long): Column = {
-    // hyperplane component h(b, i) from splitmix-like hashing → in [-1, 1)
-    def comp(b: Int, i: Int): Double = {
+  final case class SrpModel(dim: Int, nBits: Int, seed: Long) {
+    require(nBits <= 62, "bucket id is a Long")
+    private def comp(b: Int, i: Int): Double = {
       var z = seed + b.toLong * 0x9e3779b97f4a7c15L + i.toLong * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z = z ^ (z >>> 31)
       (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
     }
-    val bits = (0 until nBits).map { b =>
-      val proj = (0 until dim).map(i =>
-        element_at(vecCol, i + 1).cast("double") * lit(comp(b, i)))
-        .reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    /** hyperplanes(b)(i) — compact enough to ride the UDF closure. */
+    val hyperplanes: Array[Array[Double]] =
+      Array.tabulate(nBits, dim)((b, i) => comp(b, i))
+
+    def bucketOf(vec: Array[Float]): Long = {
+      var out = 0L
+      var b = 0
+      while (b < nBits) {
+        val h = hyperplanes(b)
+        var proj = 0.0
+        var i = 0
+        val n = math.min(dim, vec.length)
+        while (i < n) { proj += vec(i).toDouble * h(i); i += 1 }
+        if (proj >= 0) out |= (1L << b)
+        b += 1
+      }
+      out
     }
-    bits.reduce((x, y) => x.bitwiseOR(y))
+
+    /** The query's bucket plus all buckets within `probeHamming` bit flips
+      * (multi-probe LSH).
+      */
+    def probesFor(query: Array[Float], probeHamming: Int): Seq[Long] = {
+      val qb = bucketOf(query)
+      if (probeHamming <= 0) Seq(qb)
+      else qb +: (0 until nBits).map(b => qb ^ (1L << b))
+    }
   }
 
-  /** Precompute SRP buckets for the corpus (write once, partition by bucket). */
+  /** Precompute SRP buckets for the corpus (write once, partition by bucket:
+    * `df.write.partitionBy("srp_bucket")` — probes then partition-prune).
+    */
   def withSrpBucket(df: DataFrame, vecCol: String, dim: Int,
-      nBits: Int = 12, seed: Long = 42L): DataFrame =
-    df.withColumn("srp_bucket", srpBucket(col(vecCol), dim, nBits, seed))
+      nBits: Int = 12, seed: Long = 42L): DataFrame = {
+    val model = SrpModel(dim, nBits, seed)
+    val bucketU = udf((v: Seq[Float]) =>
+      if (v == null) 0L else model.bucketOf(v.toArray))
+    df.withColumn("srp_bucket", bucketU(col(vecCol)))
+  }
 
-  /** ANN: probe the query's bucket plus all buckets within `probeHamming`
-    * bit flips (multi-probe LSH), then exact cosine within candidates.
-    * Candidate set shrinks ~2^nBits-fold vs brute force; at scale the
-    * bucketed table is partitioned by srp_bucket → partition pruning.
+  /** ANN probe over a bucketed table: multi-probe bucket filter, then exact
+    * cosine within candidates. When `bucketed` is read from a table written
+    * `partitionBy("srp_bucket")`, the isin filter is a partition-pruned
+    * point lookup — the 100 TB path (candidates shrink ~2^nBits-fold).
     */
   def lshKnn(bucketed: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int, nBits: Int = 12, seed: Long = 42L,
       probeHamming: Int = 1): DataFrame = {
-    val spark = bucketed.sparkSession
-    // compute the query's bucket with the same hyperplanes (driver-side)
-    def comp(b: Int, i: Int): Double = {
-      var z = seed + b.toLong * 0x9e3779b97f4a7c15L + i.toLong * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
-    }
-    var qb = 0L
-    for (b <- 0 until nBits) {
-      var proj = 0.0
-      for (i <- query.indices) proj += query(i).toDouble * comp(b, i)
-      if (proj >= 0) qb |= (1L << b)
-    }
-    val probes: Seq[Long] =
-      if (probeHamming <= 0) Seq(qb)
-      else qb +: (0 until nBits).map(b => qb ^ (1L << b))
+    val model = SrpModel(query.length, nBits, seed)
+    val probes = model.probesFor(query, probeHamming)
     val q = typedLit(query.toSeq)
     bucketed.filter(col("srp_bucket").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("score"))
       .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Quantized cosine top-k: vectors quantized to round(x*1000); outputs the
+    * exact integers (dot, na2) and orders by sign(dot)·dot²/na2 — monotone in
+    * cosine because the query norm is a positive constant. Every emitted
+    * value is an exact BIGINT and the ordering key is one double division of
+    * two exact integers (IEEE-deterministic in any engine) — the
+    * cross-engine SQL-checkable cosine variant.
+    */
+  def quantizedCosKnn(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val qInt = typedLit(query.map(x => math.round(x * 1000).toLong).toSeq)
+    val vInt = transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+    val sign = when(col("dot") < 0, lit(-1.0)).otherwise(lit(1.0))
+    val key = when(col("na2") > 0,
+      sign * ((col("dot").cast("double") * col("dot").cast("double")) /
+        col("na2").cast("double"))).otherwise(lit(0.0))
+    df.select(col(idCol), vInt.as("v"))
+      .select(col(idCol),
+        aggregate(zip_with(col("v"), qInt, (x, y) => x * y), lit(0L),
+          (a, v) => a + v).as("dot"),
+        aggregate(col("v"), lit(0L), (a, x) => a + x * x).as("na2"))
+      .orderBy(key.desc, col(idCol))
       .limit(k)
   }
 

@@ -85,7 +85,7 @@ object TextAnalysis {
     * changes.
     */
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
+    val t = filter(tokens(col(textCol)), x => x =!= "")
     df.withColumn("fingerprint",
       aggregate(t, lit(0L), (acc, tok) => xxhash64(acc, tok)))
   }

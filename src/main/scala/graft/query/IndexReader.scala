@@ -75,23 +75,7 @@ final class IndexReader private (
     */
   private def expandFuzzy(tokens: Seq[String]): Seq[Searcher.TermStats] = {
     dictMap match {
-      case Some(m) =>
-        tokens.flatMap { q =>
-          val kEd = EditDistance.autoFuzzyEdits(q.length)
-          if (kEd == 0) m.get(q).toSeq
-          else {
-            val cands = m.valuesIterator.flatMap { ts =>
-              val t = ts.term
-              if (t.isEmpty || q.isEmpty || t.charAt(0) != q.charAt(0)) None
-              else if (math.abs(t.length - q.length) > kEd) None
-              else {
-                val d = EditDistance.osa(q, t, kEd)
-                if (d <= kEd) Some((d, ts)) else None
-              }
-            }.toSeq
-            cands.sortBy { case (d, ts) => (d, -ts.df, ts.term) }.take(50).map(_._2)
-          }
-        }.distinct
+      case Some(m) => FuzzyExpand.expand(m, tokens)
       case None => Searcher.expandFuzzySpark(spark, dictDf, tokens)
     }
   }

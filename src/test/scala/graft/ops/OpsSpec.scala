@@ -31,10 +31,10 @@ class OpsSpec extends SparkTestBase {
     assert(empty.isEmpty)
   }
 
-  test("minhash LSH finds near-dups, estimates jaccard") {
+  test("minhash LSH finds near-dups with exact jaccard") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
       shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
-      .as[(Long, Long, Double)].collect().toSeq
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().toSeq
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((0L, 2L))) // exact dup: jaccard 1.0
     assert(pairs.find(p => (p._1, p._2) == ((0L, 2L))).get._3 == 1.0)
@@ -43,15 +43,28 @@ class OpsSpec extends SparkTestBase {
     assert(!keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
-  test("minhash estimate tracks exact jaccard on candidates") {
+  test("minhash output jaccard IS the exact shingle jaccard") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
       shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.3)
-    val verified = Dedup.jaccardVerify(pairs, docs, "text", "doc_id", 2)
+    val verified = Dedup.jaccardVerify(
+      pairs.select("idA", "idB", "jaccard"), docs, "text", "doc_id", 2)
       .select("idA", "idB", "jaccard", "exact_jaccard")
       .as[(Long, Long, Double, Double)].collect()
-    for ((a, b, est, exact) <- verified) {
-      assert(math.abs(est - exact) < 0.35, s"pair ($a,$b): est=$est exact=$exact")
-    }
+    assert(verified.nonEmpty)
+    for ((a, b, j, exact) <- verified)
+      assert(j == exact, s"pair ($a,$b): jaccard=$j exact=$exact")
+  }
+
+  test("minhash bucket-width cap prunes degenerate buckets") {
+    // 30 identical docs: every band bucket has width 30 > cap 8 → no pairs
+    val dups = (0L until 30L).map(i => (i, "same same same text here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashLsh(dups, "text", "doc_id", shingleSize = 2,
+      numHashes = 16, bands = 8, minJaccard = 0.5, maxBucketSize = 8)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minHashLsh(dups, "text", "doc_id", shingleSize = 2,
+      numHashes = 16, bands = 8, minJaccard = 0.5, maxBucketSize = 64)
+    assert(uncapped.count() == 30L * 29 / 2)
   }
 
   test("simhash: identical docs same hash, near-dups close, distinct far") {

@@ -133,6 +133,36 @@ class SurfaceSpec extends SparkTestBase {
     assert(bulk(3).values.forall(_.isEmpty))
   }
 
+  test("distributed LocalDetector detections equal the bulk surface path") {
+    val messages = Seq(
+      "book a flight to Chennai",
+      "I will visit Delehi next year",
+      "best pizza in mumbai or bangalore",
+      "nothing to see here",
+      "dosa in madras",
+      "dosa dosa in chennai",
+      "pizza pasta italian in new delhi and blore")
+    val entities = Seq("city", "cuisine")
+    val bulk = TextSurface.detectBulk(spark, storeDir, messages, entities)
+    val expected = messages.zipWithIndex.flatMap { case (_, i) =>
+      entities.flatMap(e => bulk(i).getOrElse(e, Seq.empty)
+        .map(d => (i.toLong, e, d.value, d.original_text)))
+    }.toSet
+    val msgsDf = messages.zipWithIndex
+      .map { case (m, i) => (i.toLong, m) }.toDF("doc_id", "text")
+    val dist = LocalDetector.detect(spark, storeDir, msgsDf, entities)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(dist == expected)
+    // and the plan is one distributed pass: no unbounded collect
+    assert(dist.nonEmpty)
+  }
+
+  test("LocalDetector refuses indexes above the broadcast budget") {
+    intercept[IllegalArgumentException] {
+      LocalDetector.load(spark, storeDir, maxPostingBytes = 1L)
+    }
+  }
+
   test("alignment unit behavior matches reference doc examples") {
     assert(Alignment.entitySubstring(
       "come to chennai, tamil nadu, i will visit delehi next year", "chennai")
