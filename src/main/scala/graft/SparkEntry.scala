@@ -296,6 +296,26 @@ object SparkEntry {
         .orderBy("entity", "value")
     }),
 
+    "q_crf_training" -> ((s, d) => {
+      // CRF training-data store (reference create.py:224-241 second index):
+      // entity_data partition-pruned, sentence/entities stored-not-indexed,
+      // group-by-language read with explicit (language, sentence) sort
+      import graft.surface.TrainingStore
+      val storeDir = s"/tmp/graft_crf_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (TrainingStore.currentVersion(storeDir).isEmpty) {
+        val rows = table(s, d, "documents").select(
+          col("source").as("entity_data"),
+          col("text").as("sentence"),
+          filter(wsTokens(col("text")), t => t.contains("spark")).as("entities"),
+          col("lang").as("language_script"))
+        TrainingStore.commit(s, storeDir, rows)
+      }
+      TrainingStore.trainingData(s, storeDir, "src2")
+        .select(col("language_script"), col("sentence"),
+          size(col("entities")).as("n_entities"))
+        .orderBy("language_script", "sentence")
+    }),
+
     // ---- dedup / analysis with full DuckDB-replayed oracles ----
     "q_minhash_pairs" -> ((s, d) => {
       // real threshold + bucket-width cap (round-1 verdict items 4); the
@@ -554,6 +574,12 @@ object SparkEntry {
       // ties ordered by value on both sides (round-1 ADVICE item 5)
       """SELECT event_id, unnest(regexp_extract_all(props, '[0-9]+')) AS value
         |FROM events ORDER BY event_id, value""".stripMargin,
+    "q_crf_training" ->
+      """SELECT lang AS language_script, text AS sentence,
+        |  CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |    x -> contains(x, 'spark'))) AS INT) AS n_entities
+        |FROM documents WHERE source = 'src2'
+        |ORDER BY 1, 2""".stripMargin,
     "q_langid" -> langidOracle,
     "q_fingerprint" ->
       // fingerprint is xxhash64-chained (not DuckDB-computable); the checked

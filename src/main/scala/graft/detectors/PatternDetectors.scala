@@ -84,4 +84,12 @@ object PatternDetectors {
     }
     out.toSeq
   }
+
+  /** ASR-mode user-pattern detector (regex_detection.py:104-105 when
+    * asr_enabled): the text is first edited to fit the pattern — spoken
+    * Hindi letters to Latin, minimal extra-character deletion
+    * (analyzer.AsrFormat, F11) — then matched normally.
+    */
+  def customAsr(text: String, pattern: String, maxMatches: Int = 50): Seq[Detected] =
+    custom(graft.analyzer.AsrFormat.asrCorrection(text, pattern), pattern, maxMatches)
 }

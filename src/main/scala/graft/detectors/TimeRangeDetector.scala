@@ -26,14 +26,39 @@ final class TimeRangeDetector {
     val times = td.detect(lowered)
 
     var tagged = lowered
-    val byIdx = times.zipWithIndex.map { case (t, i) =>
+    val byIdx = scala.collection.mutable.Map.empty[Int, DetectedTime]
+    times.zipWithIndex.foreach { case (t, i) =>
       val m = Pattern.compile(Pattern.quote(t.original)).matcher(tagged)
       if (m.find()) {
         tagged = tagged.substring(0, m.start()) + s"__dtime_${i}__" +
           tagged.substring(m.end())
       }
-      i -> t
-    }.toMap
+      byIdx(i) = t
+    }
+
+    // bare hours inside range contexts ("between 7 and 9 pm", "7 pm to 9"):
+    // TimeDetector itself never claims a lone number, so tag them here as
+    // nn=hrs placeholders — the distribution rule below fills the meridiem
+    // from the closed side (reference 12h-range form)
+    var nextId = times.length
+    def tagBare(p: Pattern, group: Int): Unit = {
+      var m = p.matcher(tagged)
+      while (m.find()) {
+        val numStr = m.group(group)
+        val hh = numStr.toInt
+        if (hh >= 1 && hh <= 12) {
+          byIdx(nextId) = DetectedTime(hh, 0, "hrs", numStr)
+          tagged = tagged.substring(0, m.start(group)) +
+            s"__dtime_${nextId}__" + tagged.substring(m.end(group))
+          nextId += 1
+          m = p.matcher(tagged) // string changed: restart the scan
+        }
+      }
+    }
+    tagBare(Pattern.compile(
+      raw"(?:between|from)\s+(\d{1,2})\s+(?:and|to|till|until)\s+$ph"), 1)
+    tagBare(Pattern.compile(
+      raw"$ph\s*(?:to|till|until|and|-)\s*(\d{1,2})\b"), 2)
 
     val results = ListBuffer.empty[(Int, DetectedTimeRange)]
 

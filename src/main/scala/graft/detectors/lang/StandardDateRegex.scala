@@ -35,8 +35,12 @@ final class StandardDateRegex(
 
   private val tag = s"__${entityName}__"
 
-  private def choices(td: TupleDict, col: Int, value: String): String =
-    "(" + sortByWordCount(td.variantsOfType(col, value)).mkString("|") + ")"
+  private def choices(td: TupleDict, col: Int, value: String): String = {
+    val vs = td.variantsOfType(col, value)
+    // an empty vocabulary must never-match, not zero-width-match everywhere
+    if (vs.isEmpty) "((?!))"
+    else "(" + sortByWordCount(vs).mkString("|") + ")"
+  }
 
   private val relativeDateChoices = choices(data.dateConst, 1, "relative_date")
   private val dateLiteralChoices = choices(data.dateConst, 1, "date_literal")

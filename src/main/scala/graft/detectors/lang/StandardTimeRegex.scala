@@ -99,8 +99,10 @@ final class StandardTimeRegex(
       val t1 = m.group(2)
       val t2 = m.group(3)
       if (t1.length <= 2 && t2.length <= 2) {
-        val hh = t1.toInt
-        val mm = t2.toInt
+        // parseUnicodeInt: \d under UNICODE_CHARACTER_CLASS matches e.g.
+        // Devanagari/Bengali digits, which toInt cannot parse
+        val hh = parseUnicodeInt(t1).get
+        val mm = parseUnicodeInt(t2).get
         out += DetectedTime(hh, mm, meridiemOf(hh, mm, m.group(1)), m.group(1))
       }
     }

@@ -53,6 +53,26 @@ object functions {
     c => u(c)
   }
 
+  /** Locale-aware phone detection (F16): per-region calling-code + pattern
+    * tables. Output array<struct<country_calling_code, value, original>>.
+    */
+  def detect_phone_numbers(locale: String = "en-IN"): Column => Column = {
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(String, String, String)]
+      else PhoneNumbers.detect(text, locale)
+        .map(d => (d.countryCallingCode, d.value, d.original)))
+    c => u(c)
+  }
+
+  /** Chinese digit-word phone detection (F17). */
+  def detect_phone_numbers_zh(locale: String = "zh-CN"): Column => Column = {
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(String, String, String)]
+      else ChinesePhone.detect(text, locale)
+        .map(d => (d.countryCallingCode, d.value, d.original)))
+    c => u(c)
+  }
+
   /** Dates need an explicit reference date (never the wall clock —
     * deterministic at any time and parallelism). Output
     * array<struct<dd:int, mm:int, yy:int, dtype:string, original:string>>.
@@ -71,6 +91,42 @@ object functions {
     val u = udf((text: String) =>
       if (text == null) Seq.empty[(Int, Int, String, String)]
       else new TimeDetector().detect(text).map(t => (t.hh, t.mm, t.nn, t.original)))
+    c => u(c)
+  }
+
+  // per-executor detector caches for the CSV-driven language engines:
+  // the compiled regex families are built once per (lang, ref) per JVM,
+  // not per row
+  private val langDateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Boolean), lang.StandardDateRegex]
+  private val langTimeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), lang.StandardTimeRegex]
+
+  /** Language-generic date detection (F27): CSV-driven regex families
+    * (built-in: hi, bn). Same envelope as detect_dates.
+    */
+  def detect_dates_lang(language: String, referenceDate: java.time.LocalDate,
+      pastDateReferenced: Boolean = false): Column => Column = {
+    val refStr = referenceDate.toString
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(Int, Int, Int, String, String)]
+      else langDateCache.getOrElseUpdate((language, refStr, pastDateReferenced),
+          new lang.StandardDateRegex(lang.LangData.date(language),
+            java.time.LocalDate.parse(refStr), pastDateReferenced))
+        .detect(text).map(d => (d.dd, d.mm, d.yy, d.dtype, d.original)))
+    c => u(c)
+  }
+
+  /** Language-generic time detection (F30). Same envelope as detect_times. */
+  def detect_times_lang(language: String,
+      referenceTime: java.time.LocalDateTime): Column => Column = {
+    val refStr = referenceTime.toString
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(Int, Int, String, String)]
+      else langTimeCache.getOrElseUpdate((language, refStr),
+          new lang.StandardTimeRegex(lang.LangData.time(language),
+            java.time.LocalDateTime.parse(refStr)))
+        .detect(text).map(t => (t.hh, t.mm, t.nn, t.original)))
     c => u(c)
   }
 
@@ -95,6 +151,28 @@ object functions {
     val u = udf((text: String) =>
       if (text == null) Seq.empty[(String, Option[String], String)]
       else pack(PatternDetectors.custom(text, pattern, maxMatches)))
+    c => u(c)
+  }
+
+  /** ASR-mode regex detector (F11): text is fuzzy-fitted to the pattern
+    * (extra-character deletion + spoken-letter mapping) before matching.
+    */
+  def detect_regex_asr(pattern: String, maxMatches: Int = 50): Column => Column = {
+    Pattern.validate(pattern)
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(String, Option[String], String)]
+      else pack(PatternDetectors.customAsr(text, pattern, maxMatches)))
+    c => u(c)
+  }
+
+  /** Person-name heuristic (F31, documented non-parity): output
+    * array<struct<first_name, middle_name, last_name, original>>.
+    */
+  def detect_person_names(botMessage: Option[String] = None): Column => Column = {
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(String, Option[String], Option[String], String)]
+      else PersonName.detect(text, botMessage)
+        .map(n => (n.firstName, n.middleName, n.lastName, n.original)))
     c => u(c)
   }
 

@@ -3,32 +3,40 @@ package graft.index
 import java.io.ByteArrayOutputStream
 import scala.collection.mutable.ArrayBuffer
 
-/** One decoded posting: document id + term frequency. */
-final case class Posting(docId: Long, tf: Int)
+/** One decoded posting: document id + term frequency + document length in
+  * tokens (doclen = 0 on norms-off indexes — the b = 0 reference mode).
+  */
+final case class Posting(docId: Long, tf: Int, doclen: Int = 0)
 
 /** Delta-gap + variable-byte codec for posting lists, with per-block
-  * skip metadata (first/last docId, max tf, byte length) so query-time
-  * block-max WAND can skip whole blocks without decoding them.
+  * skip metadata (first/last docId, max tf, min doclen, byte length) so
+  * query-time block-max WAND can skip whole blocks without decoding them.
   *
   * Layout (all varints little-endian 7-bit-per-byte, MSB = continuation):
   * {{{
   *   varint  n                  // number of postings
+  *   varint  flags              // bit 0: per-posting doclens present
   *   repeat ceil(n/BlockSize) blocks:
   *     varint  count            // postings in this block (<= BlockSize)
   *     varlong firstDelta       // block.firstDocId - prevBlock.lastDocId
   *                              // (zigzag for block 0: docIds may be <0)
   *     varlong span             // lastDocId - firstDocId  (>= 0)
   *     varint  maxTf
+  *     varint  minDoclen        // only when flags bit 0 (block-max bound:
+  *                              // BM25 weight is max at min doclen)
   *     varint  bodyBytes        // length of body (enables block skip)
   *     body:
   *       varlong gap[i] for i in 1..count-1   // docId[i]-docId[i-1] (>0)
   *       varint  tf[i]-1 for i in 0..count-1
+  *       varint  doclen[i]-1 for i in 0..count-1   // only when flags bit 0
   * }}}
   *
   * docIds must be strictly increasing (signed Long order). The reference's
   * backend delegates this to Lucene postings (FOR/PForDelta); varbyte is the
   * from-scratch equivalent the north star names. Block size 128 matches the
   * Lucene skip granularity and keeps block-max bounds tight on skewed terms.
+  * Norms-off lists (all doclen = 0, the reference's b = 0 parity mode) set
+  * flags = 0 and pay zero extra bytes.
   */
 object PostingCodec {
   val BlockSize = 128
@@ -66,10 +74,14 @@ object PostingCodec {
 
   // --- encode ---
 
-  /** Encode a strictly-increasing (by docId) posting list. */
+  /** Encode a strictly-increasing (by docId) posting list. Doclens are
+    * stored iff any posting carries one (norms-on index).
+    */
   def encode(postings: Array[Posting]): Array[Byte] = {
+    val hasNorms = postings.exists(_.doclen > 0)
     val out = new ByteArrayOutputStream(postings.length * 2 + 16)
     writeVarLong(out, postings.length)
+    writeVarLong(out, if (hasNorms) 1L else 0L)
     var blockStart = 0
     var prevLast = 0L
     var firstBlock = true
@@ -78,12 +90,14 @@ object PostingCodec {
       val first = postings(blockStart).docId
       val last = postings(blockStart + count - 1).docId
       var maxTf = 0
+      var minDoclen = Int.MaxValue
       val body = new ByteArrayOutputStream(count * 2)
       var i = 0
       while (i < count) {
         val p = postings(blockStart + i)
         if (i > 0) writeVarLong(body, p.docId - postings(blockStart + i - 1).docId)
         if (p.tf > maxTf) maxTf = p.tf
+        if (p.doclen < minDoclen) minDoclen = p.doclen
         i += 1
       }
       i = 0
@@ -91,11 +105,19 @@ object PostingCodec {
         writeVarLong(body, (postings(blockStart + i).tf - 1).toLong)
         i += 1
       }
+      if (hasNorms) {
+        i = 0
+        while (i < count) {
+          writeVarLong(body, math.max(postings(blockStart + i).doclen - 1, 0).toLong)
+          i += 1
+        }
+      }
       writeVarLong(out, count.toLong)
       if (firstBlock) writeVarLong(out, zigzag(first))
       else writeVarLong(out, first - prevLast)
       writeVarLong(out, last - first)
       writeVarLong(out, maxTf.toLong)
+      if (hasNorms) writeVarLong(out, minDoclen.toLong)
       val bodyBytes = body.toByteArray
       writeVarLong(out, bodyBytes.length.toLong)
       out.write(bodyBytes, 0, bodyBytes.length)
@@ -110,6 +132,7 @@ object PostingCodec {
   def decode(bytes: Array[Byte]): Array[Posting] = {
     val r = new Reader(bytes, 0)
     val n = r.readVarInt()
+    val norms = (r.readVarInt() & 1) != 0
     val out = new Array[Posting](n)
     var written = 0
     var prevLast = 0L
@@ -120,14 +143,19 @@ object PostingCodec {
       val first = if (firstBlock) unzigzag(firstRaw) else prevLast + firstRaw
       r.readVarLong() // span
       r.readVarInt() // maxTf
+      if (norms) r.readVarInt() // minDoclen
       r.readVarInt() // bodyBytes
       val ids = new Array[Long](count)
       ids(0) = first
       var i = 1
       while (i < count) { ids(i) = ids(i - 1) + r.readVarLong(); i += 1 }
+      val tfs = new Array[Int](count)
+      i = 0
+      while (i < count) { tfs(i) = r.readVarInt() + 1; i += 1 }
       i = 0
       while (i < count) {
-        out(written + i) = Posting(ids(i), r.readVarInt() + 1)
+        val dl = if (norms) r.readVarInt() + 1 else 0
+        out(written + i) = Posting(ids(i), tfs(i), dl)
         i += 1
       }
       prevLast = ids(count - 1)
@@ -147,6 +175,7 @@ object PostingCodec {
   final class BlockCursor(bytes: Array[Byte]) {
     private val r = new Reader(bytes, 0)
     val totalDocs: Int = r.readVarInt()
+    val hasNorms: Boolean = (r.readVarInt() & 1) != 0
 
     private var remaining = totalDocs
     private var prevLast = 0L
@@ -155,12 +184,14 @@ object PostingCodec {
     // current block state
     private var blkIds: Array[Long] = null
     private var blkTfs: Array[Int] = null
+    private var blkDls: Array[Int] = null
     private var blkCount = 0
     private var blkIdx = 0
     // next-block header peeked state
     var blockFirstDocId: Long = 0L
     var blockLastDocId: Long = 0L
     var blockMaxTf: Int = 0
+    var blockMinDoclen: Int = 0
     private var blockBodyPos = 0
     private var blockBodyLen = 0
     private var headerLoaded = false
@@ -168,6 +199,7 @@ object PostingCodec {
     var exhausted: Boolean = totalDocs == 0
     var docId: Long = Long.MinValue
     var tf: Int = 0
+    var doclen: Int = 0
 
     /** Load the next block header (cheap) without decoding the body. */
     private def loadHeader(): Boolean = {
@@ -179,6 +211,7 @@ object PostingCodec {
         if (firstBlock) unzigzag(firstRaw) else prevLast + firstRaw
       blockLastDocId = blockFirstDocId + r.readVarLong()
       blockMaxTf = r.readVarInt()
+      blockMinDoclen = if (hasNorms) r.readVarInt() else 0
       blockBodyLen = r.readVarInt()
       blockBodyPos = r.pos
       headerLoaded = true
@@ -201,12 +234,17 @@ object PostingCodec {
       if (blkIds == null || blkIds.length < blkCount) {
         blkIds = new Array[Long](BlockSize)
         blkTfs = new Array[Int](BlockSize)
+        blkDls = new Array[Int](BlockSize)
       }
       blkIds(0) = blockFirstDocId
       var i = 1
       while (i < blkCount) { blkIds(i) = blkIds(i - 1) + r.readVarLong(); i += 1 }
       i = 0
       while (i < blkCount) { blkTfs(i) = r.readVarInt() + 1; i += 1 }
+      if (hasNorms) {
+        i = 0
+        while (i < blkCount) { blkDls(i) = r.readVarInt() + 1; i += 1 }
+      } else java.util.Arrays.fill(blkDls, 0, blkCount, 0)
       prevLast = blockLastDocId
       firstBlock = false
       remaining -= blkCount
@@ -226,6 +264,7 @@ object PostingCodec {
       }
       docId = blkIds(blkIdx)
       tf = blkTfs(blkIdx)
+      doclen = blkDls(blkIdx)
       true
     }
 
@@ -237,7 +276,8 @@ object PostingCodec {
       if (blkIds != null) {
         while (blkIdx + 1 < blkCount && blkIds(blkIdx) < target) blkIdx += 1
         if (blkIds(blkIdx) >= target) {
-          docId = blkIds(blkIdx); tf = blkTfs(blkIdx); return true
+          docId = blkIds(blkIdx); tf = blkTfs(blkIdx); doclen = blkDls(blkIdx)
+          return true
         }
         blkIds = null
       }
@@ -249,6 +289,7 @@ object PostingCodec {
       // block.last >= target guarantees we stop inside the block
       docId = blkIds(blkIdx)
       tf = blkTfs(blkIdx)
+      doclen = blkDls(blkIdx)
       true
     }
 
@@ -274,5 +315,10 @@ object PostingCodec {
       */
     def currentBlockMaxTf: Int = blockMaxTf
     def currentBlockLastDocId: Long = blockLastDocId
+    /** Min doclen over the current block — BM25 weight is maximal at the
+      * smallest doc length, so (maxTf, minDoclen) bounds the block under
+      * norms-on scoring; 0 on norms-off lists.
+      */
+    def currentBlockMinDoclen: Int = blockMinDoclen
   }
 }

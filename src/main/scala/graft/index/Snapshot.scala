@@ -54,7 +54,8 @@ object Snapshot {
     * or table schemas change incompatibly; readers of older formats rebuild
     * (buildIfAbsent treats them as absent).
     */
-  val CurrentFormatVersion = 2
+  val CurrentFormatVersion = 3 // v3: posting codec gained the norms slot
+                               // (flags + per-posting doclen + block minDoclen)
 
   private def metaDir(indexDir: String): Path = Paths.get(indexDir, "meta")
 

@@ -23,6 +23,12 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.0) {
   def score(tf: Int, df: Long, n: Long, norm: Double = 1.0): Double =
     idf(df, n) * tfWeight(tf, norm)
 
+  /** Per-posting norm: doclen/avgdl when norms are on (b > 0 and the
+    * posting carries a doclen), else 0 — exactly the b = 0 collapse.
+    */
+  def normOf(doclen: Int, avgdl: Double): Double =
+    if (b == 0.0 || doclen <= 0 || avgdl <= 0.0) 0.0 else doclen / avgdl
+
   /** Upper bound of a term's contribution given its max tf — monotone in tf
     * for b = 0 (and for fixed norm lower bound in the general case), which
     * is what makes per-block max-tf a sound block-max WAND bound.

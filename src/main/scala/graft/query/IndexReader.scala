@@ -106,7 +106,7 @@ final class IndexReader private (
       }
       val owns: Long => Boolean =
         if (sQ == 1) _ => true else d => Hashing.saltOf(d, sQ) == task
-      Wand.topK(shards, k, bm25, owns)
+      Wand.topK(shards, k, bm25, owns, meta.avgDocLen)
     }
     all.sortBy(h => (-h.score, h.docId)).take(k).toArray
   }

@@ -69,7 +69,7 @@ object Searcher {
         val owns: Long => Boolean =
           if (sQ == 1) _ => true
           else d => Hashing.saltOf(d, sQ) == task
-        Wand.topK(shards, k, bm25, owns).iterator
+        Wand.topK(shards, k, bm25, owns, meta.avgDocLen).iterator
       }
       .collect()
     perTask.sortBy(h => (-h.score, h.docId)).take(k)
@@ -164,7 +164,8 @@ object Searcher {
       .as[(String, Array[Byte])]
       .flatMap { case (term, postings) =>
         graft.index.PostingCodec.decode(postings).iterator
-          .map(p => (p.docId, term, idfB.value(term) * bm25.tfWeight(p.tf, 0.0)))
+          .map(p => (p.docId, term,
+            idfB.value(term) * bm25.tfWeight(p.tf, bm25.normOf(p.doclen, meta.avgDocLen))))
       }
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>

@@ -41,8 +41,11 @@ object Wand {
     *             exactly one task, so the global merge never double-counts).
     */
   def topK(shards: Seq[TermShard], k: Int, bm25: BM25,
-      owns: Long => Boolean = _ => true): Array[Hit] = {
+      owns: Long => Boolean = _ => true, avgdl: Double = 0.0): Array[Hit] = {
     if (k <= 0 || shards.isEmpty) return Array.empty
+    // term-level upper bound keeps the sound norm lower bound 0 (BM25
+    // weight is max at the smallest norm); block bounds refine with the
+    // block's min doclen below
     val lists = shards.iterator
       .map(s => new L(s.term, s.idf, s.idf * bm25.tfWeight(s.maxTf, 0.0),
         new BlockCursor(s.postings)))
@@ -117,7 +120,8 @@ object Wand {
         while (j <= p) {
           val l = work(j)
           if (l.cursor.shallowAdvance(pivotDoc)) {
-            blockUb += l.idf * bm25.tfWeight(l.cursor.currentBlockMaxTf, 0.0)
+            blockUb += l.idf * bm25.tfWeight(l.cursor.currentBlockMaxTf,
+              bm25.normOf(l.cursor.currentBlockMinDoclen, avgdl))
             if (l.cursor.currentBlockLastDocId < minBlockLast)
               minBlockLast = l.cursor.currentBlockLastDocId
           } else pruneValid = false // exhausted mid-shallow; clean up, retry
@@ -151,7 +155,8 @@ object Wand {
             while (t < termOrder.length) {
               val l = termOrder(t)
               if (!l.cursor.exhausted && l.cursor.docId == pivotDoc)
-                score += l.idf * bm25.tfWeight(l.cursor.tf, 0.0)
+                score += l.idf * bm25.tfWeight(l.cursor.tf,
+                  bm25.normOf(l.cursor.doclen, avgdl))
               t += 1
             }
             offer(pivotDoc, score)

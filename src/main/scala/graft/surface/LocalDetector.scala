@@ -33,7 +33,7 @@ object LocalDetector {
 
   /** A broadcastable snapshot of a dictionary index. */
   final case class LocalIndex(
-      numDocs: Long, k1: Double, b: Double,
+      numDocs: Long, avgDocLen: Double, k1: Double, b: Double,
       dict: Map[String, Searcher.TermStats],
       segs: Map[(String, Int), Array[Byte]],
       docs: Map[Long, DocEntry]) extends Serializable
@@ -68,7 +68,7 @@ object LocalDetector {
       .as[(Long, String, String, String, String, Map[String, Int])].collect()
       .map(r => r._1 -> DocEntry(r._2, r._3, r._4, r._6.keys.toArray, r._5))
       .toMap
-    LocalIndex(meta.numDocs, meta.k1, meta.b, dict, segs, docs)
+    LocalIndex(meta.numDocs, meta.avgDocLen, meta.k1, meta.b, dict, segs, docs)
   }
 
   /** In-memory twin of TextSurface.searchVariants: same resolution, same
@@ -102,7 +102,8 @@ object LocalDetector {
       while (i < postings.length) {
         val p = postings(i)
         scores.update(p.docId,
-          scores.getOrElse(p.docId, 0.0) + idf * bm25.tfWeight(p.tf, 0.0))
+          scores.getOrElse(p.docId, 0.0) +
+            idf * bm25.tfWeight(p.tf, bm25.normOf(p.doclen, idx.avgDocLen)))
         matched.getOrElseUpdate(p.docId, mutable.ArrayBuffer.empty) += t.term
         i += 1
       }

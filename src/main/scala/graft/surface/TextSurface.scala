@@ -57,7 +57,8 @@ object TextSurface {
       .select("term", "postings").as[(String, Array[Byte])]
       .flatMap { case (term, postings) =>
         PostingCodec.decode(postings).iterator
-          .map(p => (p.docId, term, idfB.value(term) * bm25.tfWeight(p.tf, 0.0)))
+          .map(p => (p.docId, term,
+            idfB.value(term) * bm25.tfWeight(p.tf, bm25.normOf(p.doclen, meta.avgDocLen))))
       }
       .toDF("docId", "term", "contrib")
       .groupBy("docId")
@@ -196,7 +197,8 @@ object TextSurface {
       .select("term", "postings").as[(String, Array[Byte])]
       .flatMap { case (term, postings) =>
         PostingCodec.decode(postings).iterator
-          .map(p => (p.docId, term, idfB.value(term) * bm25.tfWeight(p.tf, 0.0)))
+          .map(p => (p.docId, term,
+            idfB.value(term) * bm25.tfWeight(p.tf, bm25.normOf(p.doclen, meta.avgDocLen))))
       }
       .toDF("docId", "term", "contrib")
 

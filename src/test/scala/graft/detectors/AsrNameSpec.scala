@@ -1,0 +1,67 @@
+package graft.detectors
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyzer.AsrFormat
+
+/** F11 fit_text_to_format golden cases (reference docstrings,
+  * lib/nlp/text_normalization.py:67-118) and F31 person-name heuristic
+  * cases (name_detection.py docstring examples).
+  */
+class AsrNameSpec extends AnyFunSuite {
+
+  test("F11: docstring example — spaces deleted to fit \\d{5}") {
+    assert(AsrFormat.fitTextToFormat("1 2 3 45", "\\d{5}") == "12345")
+  }
+
+  test("F11: {m,n} resolves max-first (reference \\d{3,5} example)") {
+    // the reference notes fuzzy match on \d{3,5} over '12345' would detect
+    // '123'; max-first resolution keeps all five digits
+    assert(AsrFormat.fitTextToFormat("12345", "\\d{3,5}") == "12345")
+    assert(AsrFormat.fitTextToFormat("1 2 3", "\\d{3,5}") == "123")
+  }
+
+  test("F11: no match leaves text unchanged") {
+    assert(AsrFormat.fitTextToFormat("hello there", "\\d{5}") == "hello there")
+  }
+
+  test("F11: word + digits form (PNR-ish \\w\\d{4})") {
+    assert(AsrFormat.fitTextToFormat("B 9 9 3 0", "\\w\\d{4}") == "B9930")
+  }
+
+  test("F11: asr correction maps spoken hindi letters then fits") {
+    // reference pipeline example: 'बी nine nine three zero' after numeral
+    // resolution is 'बी 9930'; character constants map बी → B
+    assert(AsrFormat.asrCorrection("बी 9 9 3 0", "\\w\\d{4}") == "B9930")
+  }
+
+  test("F11: mid-text match only deletes inside the matched span") {
+    assert(AsrFormat.fitTextToFormat("pnr is 4 5123 89 ok", "\\d{7}") ==
+      "pnr is 4512389 ok")
+  }
+
+  test("F31: 'my name is yash doshi' template") {
+    assert(PersonName.detect("my name is yash doshi") ==
+      Seq(DetectedName("yash", None, Some("doshi"), "yash doshi")))
+  }
+
+  test("F31: middle names collapse (reference get_format_name example)") {
+    assert(PersonName.detect("my name is yash p. m. doshi") ==
+      Seq(DetectedName("yash", Some("p. m."), Some("doshi"), "yash p. m. doshi")))
+  }
+
+  test("F31: questions and cardinals are rejected") {
+    assert(PersonName.detect("what is your name").isEmpty)
+    assert(PersonName.detect("my name is 007 bond").isEmpty)
+  }
+
+  test("F31: free text fires only on short messages with name context") {
+    val bot = Some("Please enter your name")
+    assert(PersonName.detect("siddhant jain", bot) ==
+      Seq(DetectedName("siddhant", None, Some("jain"), "siddhant jain")))
+    // no bot context → no detection on free text
+    assert(PersonName.detect("siddhant jain", None).isEmpty)
+    // 4+ tokens → the short-message rule blocks the free-text path
+    assert(PersonName.detect("here are some words today", bot).isEmpty)
+  }
+}

@@ -21,6 +21,19 @@ class TimeRangeLemmaSpec extends AnyFunSuite {
     assert(tr.detect("at 8:15 pm").head.rangeType == "normal")
   }
 
+  test("bare hour in range context: meridiem distributes to the open side") {
+    // the reference-documented form 'between 7 and 9 pm' (round-1 advice:
+    // TimeDetector never claims a lone number — range context now tags it)
+    val r = tr.detect("meet between 7 and 9 pm tonight")
+    assert(r.head.rangeType == "range")
+    assert(r.head.start.map(t => (t.hh, t.nn)).contains((7, "pm")))
+    assert(r.head.end.map(t => (t.hh, t.nn)).contains((9, "pm")))
+    // trailing bare hour takes the leading side's meridiem
+    val r2 = tr.detect("open 7 pm to 9")
+    assert(r2.head.rangeType == "range")
+    assert(r2.head.end.map(t => (t.hh, t.nn)).contains((9, "pm")))
+  }
+
   test("recurrent date forms") {
     val dd = new DateDetector(LocalDate.of(2026, 8, 16)) // Sunday
     val r = dd.detect("gym every monday and yoga daily")

@@ -52,6 +52,45 @@ class EngineSpec extends SparkTestBase {
     }
   }
 
+  test("b>0: per-posting norms — WAND matches oracle AND brute-force BM25") {
+    import graft.query.BM25
+    import spark.implicits._
+    val dir = tmpDir("graft-index-norms")
+    val meta = IndexBuilder.build(
+      CodeCorpus.generate(spark, 800L, seed = 7L),
+      dir,
+      IndexConfig(numBuckets = 4, saltThreshold = 200L, maxSalts = 4, b = 0.75))
+    assert(meta.b == 0.75)
+    // WAND vs exact oracle under norms-on scoring (block bounds use
+    // the block min-doclen; scoring uses per-posting doclen)
+    for (q <- querySet; k <- Seq(1, 10, 50)) {
+      val rq = Searcher.resolve(spark, dir, q)
+      val wand = Searcher.searchHits(spark, dir, rq, k).toSeq
+      val exact = Searcher.searchExactHits(spark, dir, rq, k).toSeq
+      assert(wand == exact, s"b=0.75 query='$q' k=$k")
+    }
+    // independent brute force from the forward index: doclen-aware BM25
+    val docs = spark.read.schema(IndexSchemas.docs).parquet(meta.docsDir(dir))
+      .select("docId", "tfs", "doclen")
+      .as[(Long, Map[String, Int], Int)].collect()
+    val bm25 = BM25(meta.k1, meta.b)
+    val rq = Searcher.resolve(spark, dir, "posting merge")
+    val idf = rq.terms.map(t => t.term -> bm25.idf(t.df, meta.numDocs)).toMap
+    val brute = docs.flatMap { case (docId, tfs, dl) =>
+      var s = 0.0
+      for (t <- rq.terms) // lexicographic order — the summation contract
+        tfs.get(t.term).foreach(tf =>
+          s += idf(t.term) * bm25.tfWeight(tf, dl / meta.avgDocLen))
+      if (s > 0) Some(Hit(docId, s)) else None
+    }.sortBy(h => (-h.score, h.docId)).take(10).toSeq
+    val engine = Searcher.searchHits(spark, dir, rq, 10).toSeq
+    assert(engine == brute, "norms-on scores must equal doclen-aware BM25")
+    // and norms actually change the ranking scores vs the b=0 index
+    val b0 = Searcher.searchHits(spark, indexDir,
+      Searcher.resolve(spark, indexDir, "posting merge"), 10).toSeq
+    assert(b0.map(_.score) != engine.map(_.score))
+  }
+
   test("distributed serving tier is bit-identical to the driver-cached tier") {
     import graft.query.IndexReader
     // zero driver budget forces the persisted-Dataset scatter-gather path

@@ -163,6 +163,46 @@ class SurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("CRF training store: grouped read path + copy-on-write update") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft-crf")
+    val rows = Seq(
+      ("restaurant", "book a table at mainland china", Seq("mainland china"), "en"),
+      ("restaurant", "dinner at barbeque nation", Seq("barbeque nation"), "en"),
+      ("restaurant", "मेनलैंड चाइना में टेबल", Seq("मेनलैंड चाइना"), "hi"),
+      ("city", "fly to mumbai", Seq("mumbai"), "en")
+    ).toDF("entity_data", "sentence", "entities", "language_script")
+    TrainingStore.commit(spark, dir, rows)
+
+    // term query on entity_data + group-by-language, (lang, sentence) sorted
+    val grouped = TrainingStore.groupedByLanguage(spark, dir, "restaurant")
+    assert(grouped.keySet == Set("en", "hi"))
+    assert(grouped("en").map(_._1) ==
+      Seq("book a table at mainland china", "dinner at barbeque nation"))
+    assert(grouped("en").head._2 == Seq("mainland china"))
+    // language filter
+    assert(TrainingStore.groupedByLanguage(spark, dir, "restaurant",
+      Seq("hi")).keySet == Set("hi"))
+
+    // partition pruning: the entity_data term query prunes to one partition
+    val plan = TrainingStore.trainingData(spark, dir, "restaurant")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+
+    // copy-on-write update: entity replaced, other entity intact, old
+    // generation still on disk
+    val v2 = TrainingStore.updateEntity(spark, dir, "restaurant",
+      Seq(("restaurant", "lunch at olive garden", Seq("olive garden"), "en"))
+        .toDF("entity_data", "sentence", "entities", "language_script"))
+    assert(v2 == 2)
+    assert(TrainingStore.groupedByLanguage(spark, dir, "restaurant")("en")
+      .map(_._1) == Seq("lunch at olive garden"))
+    assert(TrainingStore.groupedByLanguage(spark, dir, "city")("en")
+      .map(_._1) == Seq("fly to mumbai"))
+    assert(spark.read.parquet(s"$dir/v1/training")
+      .filter(col("entity_data") === "restaurant").count() == 3)
+  }
+
   test("alignment unit behavior matches reference doc examples") {
     assert(Alignment.entitySubstring(
       "come to chennai, tamil nadu, i will visit delehi next year", "chennai")
