@@ -260,8 +260,11 @@ object SparkEntry {
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       val srpDir = s"/tmp/graft_srp_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       if (!new java.io.File(srpDir, "_SUCCESS").exists()) {
+        // co-locate rows by bucket before the partitioned write: one file
+        // per bucket instead of (input partitions x buckets) tiny files
         Similarity.withSrpBucket(table(s, d, "embeddings"), "embedding",
             dim = qv.length, nBits = 8)
+          .repartition(col("srp_bucket"))
           .write.mode("overwrite").partitionBy("srp_bucket").parquet(srpDir)
       }
       val bucketed = s.read.parquet(srpDir)

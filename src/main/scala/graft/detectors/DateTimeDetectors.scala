@@ -42,22 +42,39 @@ final class DateDetector(referenceDate: LocalDate,
   }
   private val weekdayAlt = weekdays.keys.toSeq.sortBy(-_.length).mkString("|")
 
-  // ordered sub-detector pipeline (reference order: explicit gregorian
-  // first, then relative, day+month, diffs, weekdays)
+  // ordered sub-detector pipeline (reference order, date_detection.py:532-557:
+  // gregorian family 1-10, relative 11-15, weekdays 16-17, possible-day
+  // 18-20, everyday/weekday-repeat 21-24, after-days 25-26)
+  private val yyyymmdd = Pattern.compile(
+    raw"\b(\d{4})\s?[/.\-]\s?(\d{1,2})\s?[/.\-]\s?(\d{1,2})\b")
   private val ddmmyyyy = Pattern.compile(
     raw"\b(\d{1,2})\s?[/.\-]\s?(\d{1,2})(?:\s?[/.\-]\s?((?:\d{2})?\d{2}))\b")
   private val dayMonth = Pattern.compile(
     raw"\b(\d{1,2})\s*(?:st|nd|rd|th)?\s*(?:of\s+)?($monthAlt)\.?(?:\s+(\d{4}))?\b")
   private val monthDay = Pattern.compile(
     raw"\b($monthAlt)\.?\s+(\d{1,2})\s*(?:st|nd|rd|th)?(?:\s*,?\s*(\d{4}))?\b")
+  private val yearMonthDay = Pattern.compile(
+    raw"\b(\d{4})\s+($monthAlt)\.?\s+(\d{1,2})\s*(?:st|nd|rd|th)?\b")
+  private val yearDayMonth = Pattern.compile(
+    raw"\b(\d{4})\s+(\d{1,2})\s*(?:st|nd|rd|th)?\s+($monthAlt)\b")
   private val relative = Pattern.compile(
     raw"\b(day after tomorrow|day before yesterday|today|tonight|tomorrow|yesterday)\b")
   private val afterDays = Pattern.compile(
     raw"\b(?:in|after)\s+(\d{1,3})\s+days?\b|\b(\d{1,3})\s+days?\s+(?:later|from now)\b")
   private val weekdayRef = Pattern.compile(
     raw"\b(next|this|coming|last)?\s*($weekdayAlt)\b")
+  // repeat-day families (reference 22-24): except-forms first so the bare
+  // weekday(s)/weekend(s) alternatives can't steal their suffix
+  private val repeatDays = Pattern.compile(
+    raw"\b((?:everyday|daily|all\s+days)\s*except\s*(weekends?)" +
+      raw"|(?:everyday|daily|all\s+days)\s*except\s*(week\s?days?)" +
+      raw"|(?:all\s+)?(week\s?days?)|(weekends?))\b")
   private val recurrent = Pattern.compile(
     raw"\b(everyday|daily|every\s+day)\b|\bevery\s+($weekdayAlt)\b")
+  // possible-day (reference 18-20): a bare ordinal, optionally anchored to
+  // this/next month
+  private val ordinalOnly = Pattern.compile(
+    raw"\b(\d{1,2})\s*(?:st|nd|rd|th)(?:\s+(?:of\s+)?(this|next)\s+month)?\b")
 
   private def out(d: LocalDate, dtype: String, original: String) =
     DetectedDate(d.getDayOfMonth, d.getMonthValue, d.getYear, dtype, original)
@@ -113,6 +130,19 @@ final class DateDetector(referenceDate: LocalDate,
       mm >= 1 && mm <= 12 && dd >= 1 &&
         dd <= LocalDate.of(yy, mm, 1).lengthOfMonth()
 
+    // 0. yyyy/mm/dd (reference format 3 — unambiguous, runs first)
+    locally {
+      val m = yyyymmdd.matcher(processed)
+      val found = ListBuffer.empty[DetectedDate]
+      while (m.find()) {
+        val yy = m.group(1).toInt
+        val mm = m.group(2).toInt
+        val dd = m.group(3).toInt
+        if (yy >= 1900 && yy <= 2099 && valid(dd, mm, yy))
+          found += DetectedDate(dd, mm, yy, "date", m.group())
+      }
+      found.foreach(add)
+    }
     // 1. dd/mm/yyyy (d-m-y order, the reference default locale ordering)
     locally {
       val m = ddmmyyyy.matcher(processed)
@@ -120,6 +150,19 @@ final class DateDetector(referenceDate: LocalDate,
       while (m.find()) {
         val dd = m.group(1).toInt
         val mm = m.group(2).toInt
+        val yy = resolveYear(m.group(3), if (mm >= 1 && mm <= 12) mm else 1, 1)
+        if (valid(dd, mm, yy)) found += DetectedDate(dd, mm, yy, "date", m.group())
+      }
+      found.foreach(add)
+    }
+    // 1b. mm/dd/yyyy (reference format 2): ordered alternation — only spans
+    // the d-m-y reading could not claim (e.g. 12/25/2024)
+    locally {
+      val m = ddmmyyyy.matcher(processed)
+      val found = ListBuffer.empty[DetectedDate]
+      while (m.find()) {
+        val mm = m.group(1).toInt
+        val dd = m.group(2).toInt
         val yy = resolveYear(m.group(3), if (mm >= 1 && mm <= 12) mm else 1, 1)
         if (valid(dd, mm, yy)) found += DetectedDate(dd, mm, yy, "date", m.group())
       }
@@ -140,6 +183,30 @@ final class DateDetector(referenceDate: LocalDate,
         found += out(d, "date", m.group())
       }
       found.foreach(add)
+    }
+    // 2b. year-first textual forms (reference formats 6-7):
+    // "2027 june 5" / "2027 5th june"
+    locally {
+      val m = yearMonthDay.matcher(processed)
+      val found = ListBuffer.empty[DetectedDate]
+      while (m.find()) {
+        val yy = m.group(1).toInt
+        val mm = monthNames(m.group(2))
+        val dd = m.group(3).toInt
+        if (yy >= 1900 && yy <= 2099 && valid(dd, mm, yy))
+          found += DetectedDate(dd, mm, yy, "date", m.group().strip())
+      }
+      found.foreach(add)
+      val m2 = yearDayMonth.matcher(processed)
+      val found2 = ListBuffer.empty[DetectedDate]
+      while (m2.find()) {
+        val yy = m2.group(1).toInt
+        val dd = m2.group(2).toInt
+        val mm = monthNames(m2.group(3))
+        if (yy >= 1900 && yy <= 2099 && valid(dd, mm, yy))
+          found2 += DetectedDate(dd, mm, yy, "date", m2.group().strip())
+      }
+      found2.foreach(add)
     }
     // 3. "16th aug [2024]" / "16 of august"
     locally {
@@ -175,6 +242,37 @@ final class DateDetector(referenceDate: LocalDate,
       }
       found.foreach(add)
     }
+    // 5a. weekday/weekend repeat families (reference 22-24): emit every
+    // matching date in the next 30 days; repeat_* when an everyday word
+    // anchors the phrase (date_detection.py:1865-1935)
+    locally {
+      val m = repeatDays.matcher(processed)
+      val found = ListBuffer.empty[(String, Seq[DetectedDate])]
+      while (m.find()) {
+        val original = m.group(1).strip()
+        val (wantWeekend, repeat) =
+          if (m.group(2) != null) (false, true) // everyday except weekends
+          else if (m.group(3) != null) (true, true) // everyday except weekdays
+          else if (m.group(4) != null) (false, false) // bare weekdays
+          else (true, false) // bare weekends
+        val dtype = (wantWeekend, repeat) match {
+          case (false, true) => "repeat_weekdays"
+          case (false, false) => "weekdays"
+          case (true, true) => "repeat_weekends"
+          case (true, false) => "weekends"
+        }
+        val dates = (0 until 30).map(referenceDate.plusDays(_)).filter { d =>
+          val dow = d.getDayOfWeek
+          val isWeekend = dow == DayOfWeek.SATURDAY || dow == DayOfWeek.SUNDAY
+          isWeekend == wantWeekend
+        }.map(d => out(d, dtype, original))
+        found += ((original, dates.toSeq))
+      }
+      for ((original, dates) <- found) {
+        val at = consume(original)
+        if (at >= 0) dates.foreach(d => results += ((at, d)))
+      }
+    }
     // 5b. recurrent forms: "everyday"/"daily" (type everyday), "every
     // monday" (type repeat_day resolved to the next occurrence) — reference
     // TYPE_EVERYDAY / repeat-day semantics
@@ -207,6 +305,27 @@ final class DateDetector(referenceDate: LocalDate,
       }
       found.foreach(add)
     }
+    // 7. possible-day ordinals (reference 18-20): bare "23rd" → nearest
+    // month holding that day forward; "5th of this/next month" explicit
+    locally {
+      val m = ordinalOnly.matcher(processed)
+      val found = ListBuffer.empty[DetectedDate]
+      while (m.find()) {
+        val dd = m.group(1).toInt
+        val anchor = Option(m.group(2)).getOrElse("")
+        val base = anchor match {
+          case "next" => referenceDate.plusMonths(1)
+          case "this" => referenceDate
+          case _ =>
+            if (dd >= referenceDate.getDayOfMonth) referenceDate
+            else referenceDate.plusMonths(1)
+        }
+        if (valid(dd, base.getMonthValue, base.getYear))
+          found += DetectedDate(dd, base.getMonthValue, base.getYear,
+            "possible_day", m.group().strip())
+      }
+      found.foreach(add)
+    }
 
     results.sortBy(_._1).map(_._2).toSeq
   }
@@ -231,6 +350,25 @@ final class TimeDetector(entityName: String = "time") {
     raw"\b(\d{1,2})\s*[:.]\s*(\d{2})\s*(?:hrs|hours|hr)?\b")
   private val diffTime = Pattern.compile(
     raw"\b(?:in|after)\s+(\d{1,3})\s*(min(?:ute)?s?|h(?:ou)?rs?)\b")
+  // "X mins/hours later" (en/time_detection.py:876-916)
+  private val laterTime = Pattern.compile(
+    raw"\b(\d{1,3})\s?(min(?:ute)?s?|h(?:ou)?rs?)\s?(?:later|ltr|latr|lter)s?\b")
+  // "every 6 hours", "every 30 mins" (:918-958, nn = 'ev')
+  private val everyX = Pattern.compile(
+    raw"\b(?:every|evry|evy|evri)\s*(\d{1,3})\s*(min(?:ute)?s?|h(?:ou)?rs?)\b")
+  // "once in 2 days" → every 48 hours (:960-994)
+  private val onceInX = Pattern.compile(
+    raw"\b(?:once|onc|1se)\s*(?:in every|in|every)?\s*(\d+|a)\s?days?\b")
+  // hh:mm + a daytime word instead of am/pm (:1098-1165): morning words →
+  // am, noon/evening words → pm, night words → am below 5 else pm
+  private val wordClock = Pattern.compile(
+    raw"\b(0?[1-9]|1[0-2])[:.]([0-5][0-9])\b(?!\s?(?:am|pm|a\.m\.?|p\.m\.?|\d))")
+  private val amWords = Pattern.compile(
+    raw"\b(morning|early|subah|mrng|mrning|savere)\b")
+  private val pmWords = Pattern.compile(
+    raw"\b(noon|afternoon|evening|evng|evning|sham|lunch|dinner)\b")
+  private val nightWords = Pattern.compile(
+    raw"\b(night|nite|tonight|latenight|tonit|nit|rat)\b")
 
   def detect(text0: String): Seq[DetectedTime] = {
     var processed = text0.toLowerCase(java.util.Locale.ROOT)
@@ -263,6 +401,34 @@ final class TimeDetector(entityName: String = "time") {
       }
       found.foreach(add)
     }
+    // 1b. "X mins later" (df), "every X hours" / "once in X days" (ev)
+    locally {
+      val m = laterTime.matcher(processed)
+      val found = ListBuffer.empty[DetectedTime]
+      while (m.find()) {
+        val n = m.group(1).toInt
+        val isMin = m.group(2).startsWith("m")
+        found += DetectedTime(if (isMin) 0 else n, if (isMin) n else 0, "df",
+          m.group().strip())
+      }
+      found.foreach(add)
+      val m2 = everyX.matcher(processed)
+      val found2 = ListBuffer.empty[DetectedTime]
+      while (m2.find()) {
+        val n = m2.group(1).toInt
+        val isMin = m2.group(2).startsWith("m")
+        found2 += DetectedTime(if (isMin) 0 else n, if (isMin) n else 0, "ev",
+          m2.group().strip())
+      }
+      found2.foreach(add)
+      val m3 = onceInX.matcher(processed)
+      val found3 = ListBuffer.empty[DetectedTime]
+      while (m3.find()) {
+        val days = if (m3.group(1) == "a") 1 else m3.group(1).toInt
+        found3 += DetectedTime(24 * days, 0, "ev", m3.group().strip())
+      }
+      found3.foreach(add)
+    }
     // 2. clock with meridiem
     locally {
       val m = clockMeridiem.matcher(processed)
@@ -276,6 +442,26 @@ final class TimeDetector(entityName: String = "time") {
         }
       }
       found.foreach(add)
+    }
+    // 2b. clock + daytime word ("5:30 evening", "02:59 morning")
+    locally {
+      val hasAm = amWords.matcher(processed).find()
+      val hasPm = pmWords.matcher(processed).find()
+      val hasNight = nightWords.matcher(processed).find()
+      if (hasAm || hasPm || hasNight) {
+        val m = wordClock.matcher(processed)
+        val found = ListBuffer.empty[DetectedTime]
+        while (m.find()) {
+          val hh = m.group(1).toInt
+          val mm = m.group(2).toInt
+          val nn =
+            if (hasAm) "am"
+            else if (hasPm) "pm"
+            else if (hh < 5) "am" else "pm" // night words
+          found += DetectedTime(hh, mm, nn, m.group().strip())
+        }
+        found.foreach(add)
+      }
     }
     // 3. 24h clock
     locally {

@@ -9,6 +9,18 @@ import org.apache.spark.sql.types._
   */
 object IndexSchemas {
 
+  /** Read segment tables across snapshot generations: each generation's
+    * bucket-partitioned dir is read separately and unioned — a single
+    * multi-root read trips Spark's partition discovery
+    * (CONFLICTING_DIRECTORY_STRUCTURES), and per-root reads keep bucket
+    * pruning intact.
+    */
+  def readSegments(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): org.apache.spark.sql.DataFrame =
+    dirs.map(d => spark.read.schema(segments).parquet(d))
+      .reduce(_.unionByName(_))
+
+
   val docs: StructType = StructType(Seq(
     StructField("docId", LongType, nullable = false),
     StructField("repo", StringType),

@@ -24,12 +24,27 @@ final case class SnapshotMeta(
     b: Double,
     corpusFingerprint: Long,
     hotTerms: Map[String, Int],
-    formatVersion: Int = Snapshot.CurrentFormatVersion) {
+    formatVersion: Int = Snapshot.CurrentFormatVersion,
+    /** Generations whose docs/segments this snapshot layers on top of
+      * (Iceberg-manifest-style union) — the DELTA build chain. Empty for a
+      * full build. The dict is always rewritten whole (it is |vocab|-sized),
+      * so only docs/segments/lineage union across generations.
+      */
+    baseVersions: Seq[Int] = Nil) {
 
   def docsDir(indexDir: String) = s"$indexDir/v$version/docs"
   def segmentsDir(indexDir: String) = s"$indexDir/v$version/segments"
   def dictDir(indexDir: String) = s"$indexDir/v$version/dict"
   def lineageDir(indexDir: String) = s"$indexDir/v$version/lineage"
+
+  /** All generations contributing rows, oldest first. */
+  def allVersions: Seq[Int] = baseVersions :+ version
+  def docsDirs(indexDir: String): Seq[String] =
+    allVersions.map(v => s"$indexDir/v$v/docs")
+  def segmentsDirs(indexDir: String): Seq[String] =
+    allVersions.map(v => s"$indexDir/v$v/segments")
+  def lineageDirs(indexDir: String): Seq[String] =
+    allVersions.map(v => s"$indexDir/v$v/lineage")
 
   def toJson: String = {
     def q(s: String) = "\"" + s.flatMap {
@@ -40,11 +55,13 @@ final case class SnapshotMeta(
     } + "\""
     val hot = hotTerms.toSeq.sortBy(_._1)
       .map { case (t, s) => s"${q(t)}:$s" }.mkString("{", ",", "}")
+    val bases = baseVersions.mkString("[", ",", "]")
     s"""{"version":$version,"formatVersion":$formatVersion,""" +
       s""""numDocs":$numDocs,"avgDocLen":$avgDocLen,""" +
       s""""numBuckets":$numBuckets,"saltThreshold":$saltThreshold,""" +
       s""""maxSalts":$maxSalts,"k1":$k1,"b":$b,""" +
-      s""""corpusFingerprint":$corpusFingerprint,"hotTerms":$hot}"""
+      s""""corpusFingerprint":$corpusFingerprint,""" +
+      s""""baseVersions":$bases,"hotTerms":$hot}"""
   }
 }
 
@@ -134,6 +151,11 @@ object Snapshot {
         val colon = kv.lastIndexOf(':')
         unq(kv.substring(0, colon)) -> kv.substring(colon + 1).trim.toInt
       }.toMap
+    val bases: Seq[Int] = fieldOpt("baseVersions")
+      .map(_.trim.stripPrefix("[").stripSuffix("]"))
+      .filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Nil)
     SnapshotMeta(
       version = field("version").trim.toInt,
       numDocs = field("numDocs").trim.toLong,
@@ -145,7 +167,8 @@ object Snapshot {
       b = field("b").trim.toDouble,
       corpusFingerprint = field("corpusFingerprint").trim.toLong,
       hotTerms = hot,
-      formatVersion = fieldOpt("formatVersion").map(_.trim.toInt).getOrElse(0))
+      formatVersion = fieldOpt("formatVersion").map(_.trim.toInt).getOrElse(0),
+      baseVersions = bases)
   }
 
   def listVersions(indexDir: String): Seq[Int] = {

@@ -98,9 +98,13 @@ object Dedup {
       }
     }
 
+    // persist the signatures: the banded self-join and the verify joins
+    // would otherwise re-run the signature UDF once per plan branch
+    // (signatures are numHashes longs/doc — the standard LSH working set)
     val withSig = df
       .select(col(idCol).as("_id"), sigU(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key = the band's signature slice (joined as a raw array — no
     // re-hash, so the oracle's tuple-equality grouping is bit-identical)
@@ -125,9 +129,11 @@ object Dedup {
       .dropDuplicates("idA", "idB")
 
     // exact verify on candidates only (ADVICE round 1: the threshold must
-    // operate on the exact Jaccard, not the signature estimate)
+    // operate on the exact Jaccard, not the signature estimate); persisted —
+    // joined once per pair side
     val sh = df.select(col(idCol).as("_jid"),
       shingles(col(textCol), shingleSize).as("_jsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sh.withColumnRenamed("_jid", "idA").withColumnRenamed("_jsh", "shA"), Seq("idA"))
       .join(sh.withColumnRenamed("_jid", "idB").withColumnRenamed("_jsh", "shB"), Seq("idB"))

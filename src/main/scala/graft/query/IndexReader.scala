@@ -29,7 +29,7 @@ final class IndexReader private (
     val indexDir: String,
     val meta: SnapshotMeta,
     dictMap: Option[Map[String, Searcher.TermStats]],
-    segMap: Option[Map[(String, Int), IndexReader.SegShard]]) {
+    segMap: Option[Map[(String, Int), Seq[IndexReader.SegShard]]]) {
 
   import IndexReader.SegShard
 
@@ -38,10 +38,14 @@ final class IndexReader private (
   private lazy val dictDf: DataFrame =
     spark.read.schema(graft.index.IndexSchemas.dict).parquet(meta.dictDir(indexDir))
 
-  /** Persisted distributed segments (lazy — only touched on the big tier). */
+  /** Persisted distributed segments (lazy — only touched on the big tier).
+    * Delta snapshots layer multiple generations' segment dirs (manifest
+    * union).
+    */
   private lazy val segsDs = {
     import spark.implicits._
-    val ds = spark.read.schema(graft.index.IndexSchemas.segments).parquet(meta.segmentsDir(indexDir))
+    val ds = graft.index.IndexSchemas
+      .readSegments(spark, meta.segmentsDirs(indexDir))
       .select("term", "salt", "numSalts", "maxTf", "postings")
       .as[(String, Int, Int, Int, Array[Byte])]
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -94,14 +98,16 @@ final class IndexReader private (
     * (tasks are independent; parallelize across a thread pool if single-query
     * latency over many salts ever dominates).
     */
-  private def searchLocal(m: Map[(String, Int), SegShard],
+  private def searchLocal(m: Map[(String, Int), Seq[SegShard]],
       rq: Searcher.ResolvedQuery, k: Int): Array[Hit] = {
     val sQ = rq.saltFanout
     val n = meta.numDocs
     val idf = rq.terms.map(t => t.term -> bm25.idf(t.df, n)).toMap
     val all = (0 until sQ).flatMap { task =>
+      // one shard per generation per (term, salt): generations hold
+      // disjoint docId ranges, so WAND treats them as extra lists safely
       val shards = rq.terms.flatMap { t =>
-        m.get((t.term, task & (t.numSalts - 1)))
+        m.getOrElse((t.term, task & (t.numSalts - 1)), Nil)
           .map(s => TermShard(t.term, idf(t.term), s.maxTf, s.postings))
       }
       val owns: Long => Boolean =
@@ -142,7 +148,8 @@ object IndexReader {
     openReaders.getOrElseUpdate((indexDir, meta.version, cfg), {
       import spark.implicits._
       // lineage carries per-bucket posting byte totals — cheap sizing probe
-      val sizing = spark.read.schema(graft.index.IndexSchemas.lineage).parquet(meta.lineageDir(indexDir))
+      val sizing = spark.read.schema(graft.index.IndexSchemas.lineage)
+        .parquet(meta.lineageDirs(indexDir): _*)
         .agg(sum("numShards"), sum("postingBytes")).collect()(0)
       val nShards = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
       val pBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
@@ -155,10 +162,13 @@ object IndexReader {
             .select("term", "df", "maxTf", "numSalts")
             .as[(String, Long, Int, Int)].collect()
             .map(r => r._1 -> Searcher.TermStats(r._1, r._2, r._3, r._4)).toMap
-          val sm = spark.read.schema(graft.index.IndexSchemas.segments).parquet(meta.segmentsDir(indexDir))
+          val sm = graft.index.IndexSchemas
+            .readSegments(spark, meta.segmentsDirs(indexDir))
             .select("term", "salt", "numSalts", "maxTf", "postings")
             .as[(String, Int, Int, Int, Array[Byte])].collect()
-            .map(r => (r._1, r._2) -> SegShard(r._3, r._4, r._5)).toMap
+            .groupBy(r => (r._1, r._2))
+            .view.mapValues(_.map(r => SegShard(r._3, r._4, r._5)).toSeq)
+            .toMap
           (Some(dm), Some(sm))
         }
       new IndexReader(spark, indexDir, meta, dictMap, segMap)

@@ -158,7 +158,8 @@ object Searcher {
       (0 until t.numSalts).map(s => Hashing.bucketOf(t.term, s, meta.numBuckets)))
       .distinct
     val idfB = spark.sparkContext.broadcast(idf)
-    spark.read.schema(graft.index.IndexSchemas.segments).parquet(meta.segmentsDir(indexDirLocal))
+    graft.index.IndexSchemas
+      .readSegments(spark, meta.segmentsDirs(indexDirLocal))
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(termNames: _*))
       .select("term", "postings")
       .as[(String, Array[Byte])]
@@ -186,7 +187,8 @@ object Searcher {
     */
   def resolveHits(spark: SparkSession, indexDir: String, hits: DataFrame): DataFrame = {
     val meta = Snapshot.load(indexDir).get
-    val docs = spark.read.schema(graft.index.IndexSchemas.docs).parquet(meta.docsDir(indexDir))
+    val docs = spark.read.schema(graft.index.IndexSchemas.docs)
+      .parquet(meta.docsDirs(indexDir): _*)
       .select("docId", "repo", "path", "commit", "lang", "sha256")
     docs.join(broadcast(hits), docs("docId") === hits("doc_id"), "inner")
       .drop("docId")

@@ -14,27 +14,41 @@ import graft.index.{IndexBuilder, IndexConfig, Snapshot, SnapshotMeta}
   * readers always see either the previous or the next complete generation —
   * never a half-built index. Failure between corpus-append and snapshot
   * commit is safe: the pointer still names the old generation, and the next
-  * batch's rebuild picks up the appended rows.
+  * batch's delta picks up the appended rows (buildDelta skips keys that
+  * already landed).
   *
-  * Scale note: per-batch full rebuild is the correctness-first path; the
-  * segment layout already supports delta builds (build segments for new
-  * docShards only, union manifests) — planned optimization, same on-disk
-  * contract.
+  * Scale: batches after the first land as DELTA generations — O(batch)
+  * work, manifest-union reads (IndexBuilder.buildDelta). The delta chain is
+  * auto-compacted into a full rebuild once it exceeds `maxDeltaChain`
+  * generations, bounding per-query segment fan-in.
   */
 object StreamingIngest {
 
   def corpusDir(storeDir: String) = s"$storeDir/corpus"
 
-  /** Append a batch of corpus rows and publish a new snapshot. */
+  /** Append a batch of corpus rows and publish a new snapshot — a delta
+    * generation on an existing index, a full build otherwise, a compaction
+    * when the delta chain is long.
+    */
   def appendBatch(spark: SparkSession, storeDir: String,
-      batch: DataFrame, cfg: IndexConfig = IndexConfig()): SnapshotMeta = {
+      batch: DataFrame, cfg: IndexConfig = IndexConfig(),
+      maxDeltaChain: Int = 16): SnapshotMeta = {
     batch.select("repo", "path", "commit", "lang", "content")
       .write.mode(SaveMode.Append).parquet(corpusDir(storeDir))
-    val corpus = spark.read
+    def fullCorpus = spark.read
       .schema("repo string, path string, commit string, lang string, content string")
       .parquet(corpusDir(storeDir))
       .dropDuplicates("repo", "path", "commit")
-    IndexBuilder.build(corpus, storeDir, cfg)
+    Snapshot.load(storeDir)
+      .filter(_.formatVersion == Snapshot.CurrentFormatVersion) match {
+      case Some(prev) if prev.allVersions.length < maxDeltaChain =>
+        IndexBuilder.buildDelta(
+          batch.select("repo", "path", "commit", "lang", "content"),
+          storeDir, cfg)
+      case _ =>
+        // first build, stale format, or compaction point: full rebuild
+        IndexBuilder.build(fullCorpus, storeDir, cfg)
+    }
   }
 
   /** Attach a streaming source: every micro-batch lands as one snapshot

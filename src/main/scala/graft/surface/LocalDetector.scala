@@ -35,7 +35,7 @@ object LocalDetector {
   final case class LocalIndex(
       numDocs: Long, avgDocLen: Double, k1: Double, b: Double,
       dict: Map[String, Searcher.TermStats],
-      segs: Map[(String, Int), Array[Byte]],
+      segs: Map[(String, Int), Seq[Array[Byte]]],
       docs: Map[Long, DocEntry]) extends Serializable
 
   /** Load a committed snapshot wholly into driver memory. Guarded: refuses
@@ -48,7 +48,7 @@ object LocalDetector {
     val meta = Snapshot.load(storeDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot at $storeDir"))
     val sizing = spark.read.schema(IndexSchemas.lineage)
-      .parquet(meta.lineageDir(storeDir))
+      .parquet(meta.lineageDirs(storeDir): _*)
       .agg(org.apache.spark.sql.functions.sum("postingBytes")).collect()(0)
     val pBytes = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
     require(pBytes <= maxPostingBytes,
@@ -58,12 +58,14 @@ object LocalDetector {
       .select("term", "df", "maxTf", "numSalts")
       .as[(String, Long, Int, Int)].collect()
       .map(r => r._1 -> Searcher.TermStats(r._1, r._2, r._3, r._4)).toMap
-    val segs = spark.read.schema(IndexSchemas.segments)
-      .parquet(meta.segmentsDir(storeDir))
+    val segs = IndexSchemas
+      .readSegments(spark, meta.segmentsDirs(storeDir))
       .select("term", "salt", "postings")
       .as[(String, Int, Array[Byte])].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    val docs = spark.read.schema(IndexSchemas.docs).parquet(meta.docsDir(storeDir))
+      .groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._3).toSeq).toMap
+    val docs = spark.read.schema(IndexSchemas.docs)
+      .parquet(meta.docsDirs(storeDir): _*)
       .select("docId", "repo", "path", "commit", "lang", "tfs")
       .as[(Long, String, String, String, String, Map[String, Int])].collect()
       .map(r => r._1 -> DocEntry(r._2, r._3, r._4, r._6.keys.toArray, r._5))
@@ -94,7 +96,7 @@ object LocalDetector {
       val idf = bm25.idf(t.df, idx.numDocs)
       val postings = termCache.getOrElseUpdate(t.term, {
         (0 until t.numSalts).iterator
-          .flatMap(s => idx.segs.get((t.term, s)).iterator)
+          .flatMap(s => idx.segs.getOrElse((t.term, s), Nil).iterator)
           .flatMap(PostingCodec.decode(_).iterator)
           .toArray
       })

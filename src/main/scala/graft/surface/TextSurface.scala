@@ -52,7 +52,8 @@ object TextSurface {
     val idfB = spark.sparkContext.broadcast(idf)
 
     // per-doc (score, matched terms) from the compressed postings
-    val scored = spark.read.schema(graft.index.IndexSchemas.segments).parquet(meta.segmentsDir(storeDir))
+    val scored = graft.index.IndexSchemas
+      .readSegments(spark, meta.segmentsDirs(storeDir))
       .filter(col("term").isin(termNames: _*))
       .select("term", "postings").as[(String, Array[Byte])]
       .flatMap { case (term, postings) =>
@@ -70,7 +71,8 @@ object TextSurface {
       .select("docId", "score", "matched")
 
     // filter context: entity/language predicates (non-scoring) + R1
-    val docs = spark.read.schema(graft.index.IndexSchemas.docs).parquet(meta.docsDir(storeDir))
+    val docs = spark.read.schema(graft.index.IndexSchemas.docs)
+      .parquet(meta.docsDirs(storeDir): _*)
       .filter(col("repo").isin(entities: _*) &&
         (if (languages.nonEmpty) col("lang").isin(languages: _*) else lit(true)))
       .select(col("docId"), col("repo").as("entity"), col("path").as("value"),
@@ -190,9 +192,8 @@ object TextSurface {
       .flatMap { case (rq, i) => rq.terms.map(t => (i, t.term)) }
       .toDF("msgId", "term")
 
-    val contributions = spark.read
-      .schema(graft.index.IndexSchemas.segments)
-      .parquet(meta.segmentsDir(storeDir))
+    val contributions = graft.index.IndexSchemas
+      .readSegments(spark, meta.segmentsDirs(storeDir))
       .filter(col("term").isin(termNames: _*))
       .select("term", "postings").as[(String, Array[Byte])]
       .flatMap { case (term, postings) =>
@@ -213,7 +214,7 @@ object TextSurface {
       .select("msgId", "docId", "score", "matched")
 
     val docs = spark.read.schema(graft.index.IndexSchemas.docs)
-      .parquet(meta.docsDir(storeDir))
+      .parquet(meta.docsDirs(storeDir): _*)
       .filter(col("repo").isin(entities: _*) &&
         (if (languages.nonEmpty) col("lang").isin(languages: _*) else lit(true)))
       .select(col("docId"), col("repo").as("entity"), col("path").as("value"),

@@ -56,6 +56,48 @@ class DateTimeSpec extends AnyFunSuite {
     assert(r(1).original == "monday" && r(1).dtype == "day_within_one_week")
   }
 
+  test("numeric y/m/d and m/d/y orders (reference formats 2-3)") {
+    assert(dates("deploy on 2026/12/25 ok") == Seq((25, 12, 2026)))
+    assert(dates("2027-01-09") == Seq((9, 1, 2027)))
+    // 12/25 is impossible as d/m → the m/d/y reading claims it
+    assert(dates("party on 12/25/2026") == Seq((25, 12, 2026)))
+    // ambiguous 5/6 stays d/m/y (the reference's default locale order)
+    assert(dates("on 5/6/2027") == Seq((5, 6, 2027)))
+  }
+
+  test("year-first textual forms (reference formats 6-7)") {
+    assert(dates("audit 2027 june 5 sharp") == Seq((5, 6, 2027)))
+    assert(dates("audit 2027 5th june sharp") == Seq((5, 6, 2027)))
+  }
+
+  test("possible-day ordinals (reference formats 18-20)") {
+    // ref is 2026-08-16: 23rd hasn't passed → this month
+    assert(dates("lets do the 23rd") == Seq((23, 8, 2026)))
+    assert(dd.detect("lets do the 23rd").head.dtype == "possible_day")
+    // 5th already passed → next month
+    assert(dates("on the 5th works") == Seq((5, 9, 2026)))
+    assert(dates("the 5th of this month") == Seq((5, 8, 2026)))
+    assert(dates("the 23rd of next month") == Seq((23, 9, 2026)))
+  }
+
+  test("weekday/weekend repeat families (reference formats 22-24)") {
+    val wd = dd.detect("open everyday except weekends")
+    assert(wd.nonEmpty && wd.forall(_.dtype == "repeat_weekdays"))
+    assert(wd.forall(d => {
+      val dow = LocalDate.of(d.yy, d.mm, d.dd).getDayOfWeek.getValue
+      dow >= 1 && dow <= 5
+    }))
+    assert(wd.length == 21) // 30-day window minus weekends (ref Sunday −1)
+    val we = dd.detect("deliveries on weekends")
+    assert(we.nonEmpty && we.forall(_.dtype == "weekends"))
+    assert(we.forall(d =>
+      LocalDate.of(d.yy, d.mm, d.dd).getDayOfWeek.getValue >= 6))
+    val wd2 = dd.detect("only weekdays please")
+    assert(wd2.nonEmpty && wd2.forall(_.dtype == "weekdays"))
+    val we2 = dd.detect("daily except weekdays")
+    assert(we2.nonEmpty && we2.forall(_.dtype == "repeat_weekends"))
+  }
+
   private val td = new TimeDetector()
   private def times(text: String): Seq[(Int, Int, String)] =
     td.detect(text).map(t => (t.hh, t.mm, t.nn))
@@ -77,5 +119,24 @@ class DateTimeSpec extends AnyFunSuite {
   test("span ordering across formats") {
     val r = td.detect("in 15 minutes or at 8 pm")
     assert(r.map(_.nn) == Seq("df", "pm"))
+  }
+
+  test("later / every-X / once-in-X forms (reference :876-994)") {
+    assert(times("30 mins later please") == Seq((0, 30, "df")))
+    assert(times("2 hours later") == Seq((2, 0, "df")))
+    assert(times("take it every 6 hours") == Seq((6, 0, "ev")))
+    assert(times("every 30 mins") == Seq((0, 30, "ev")))
+    assert(times("once in 2 days") == Seq((48, 0, "ev")))
+    assert(times("once a day") == Seq((24, 0, "ev")))
+  }
+
+  test("daytime-word clock (reference 12-hour word format)") {
+    assert(times("come at 5:30 evening") == Seq((5, 30, "pm")))
+    assert(times("02:59 morning alarm") == Seq((2, 59, "am")))
+    // night: below 5 → am, else pm
+    assert(times("at 2:30 night") == Seq((2, 30, "am")))
+    assert(times("at 11:30 night") == Seq((11, 30, "pm")))
+    // explicit meridiem still wins over a stray word
+    assert(times("at 5:30 pm this evening") == Seq((5, 30, "pm")))
   }
 }

@@ -91,6 +91,52 @@ class EngineSpec extends SparkTestBase {
     assert(b0.map(_.score) != engine.map(_.score))
   }
 
+  test("delta build: layered generations answer identically to a full rebuild") {
+    import spark.implicits._
+    val cfg = IndexConfig(numBuckets = 8, saltThreshold = 400L, maxSalts = 8)
+    // same seed → generate(2000) keys are a superset of generate(1200)
+    val dirDelta = tmpDir("graft-delta")
+    IndexBuilder.build(CodeCorpus.generate(spark, 1200L, seed = 11L), dirDelta, cfg)
+    val m2 = IndexBuilder.buildDelta(
+      CodeCorpus.generate(spark, 2000L, seed = 11L), dirDelta, cfg)
+    assert(m2.baseVersions == Seq(1) && m2.version == 2)
+    assert(m2.numDocs == 2000)
+
+    val dirFull = tmpDir("graft-full")
+    val mf = IndexBuilder.build(CodeCorpus.generate(spark, 2000L, seed = 11L),
+      dirFull, cfg)
+    // the order-independent corpus fingerprint must agree exactly
+    assert(m2.corpusFingerprint == mf.corpusFingerprint)
+    assert(m2.numDocs == mf.numDocs)
+
+    // query parity: docIds differ between constructions (delta ranks append
+    // per shard), so compare resolved (path, score) result sets with k
+    // beyond every df — exact float equality, same BM25 inputs either way
+    def pathsOf(dir: String): Map[Long, String] = {
+      val meta = Snapshot.load(dir).get
+      spark.read.schema(IndexSchemas.docs).parquet(meta.docsDirs(dir): _*)
+        .select("docId", "path").as[(Long, String)].collect().toMap
+    }
+    val pd = pathsOf(dirDelta)
+    val pf = pathsOf(dirFull)
+    for (q <- querySet) {
+      val hd = Searcher.searchHits(spark, dirDelta,
+        Searcher.resolve(spark, dirDelta, q), 2500)
+        .map(h => (pd(h.docId), h.score)).sortBy(x => (x._1, x._2)).toSeq
+      val hf = Searcher.searchHits(spark, dirFull,
+        Searcher.resolve(spark, dirFull, q), 2500)
+        .map(h => (pf(h.docId), h.score)).sortBy(x => (x._1, x._2)).toSeq
+      assert(hd == hf, s"delta vs full mismatch for '$q'")
+    }
+
+    // a delta of only-existing keys adds nothing but still commits cleanly
+    val m3 = IndexBuilder.buildDelta(
+      CodeCorpus.generate(spark, 500L, seed = 11L), dirDelta, cfg)
+    assert(m3.numDocs == 2000 && m3.baseVersions == Seq(1, 2))
+    assert(Searcher.searchHits(spark, dirDelta,
+      Searcher.resolve(spark, dirDelta, "import"), 10).nonEmpty)
+  }
+
   test("distributed serving tier is bit-identical to the driver-cached tier") {
     import graft.query.IndexReader
     // zero driver budget forces the persisted-Dataset scatter-gather path

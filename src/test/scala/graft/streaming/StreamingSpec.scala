@@ -37,6 +37,9 @@ class StreamingSpec extends SparkTestBase {
     q2.stop()
     assert(Snapshot.currentVersion(dir).get > v1)
     assert(Snapshot.load(dir).get.numDocs == 120)
+    // batch 2 landed as a DELTA generation layered on batch 1 (O(batch)
+    // work), not a full rebuild
+    assert(Snapshot.load(dir).get.baseVersions.nonEmpty)
 
     // the published snapshot answers queries over ALL ingested docs
     val hits = Searcher.search(spark, dir, "import", 200)
