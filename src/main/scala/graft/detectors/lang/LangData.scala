@@ -77,10 +77,11 @@ final case class TimeLangData(timeConst: TupleDict, dtConst: TupleDict,
 object LangData {
 
   /** Languages shipped as resources (recreated from the reference's
-    * per-language data dirs).
+    * per-language data dirs — all six date languages; te ships no time
+    * tables in the reference either).
     */
-  val builtinDateLanguages: Seq[String] = Seq("hi", "bn")
-  val builtinTimeLanguages: Seq[String] = Seq("hi", "bn")
+  val builtinDateLanguages: Seq[String] = Seq("hi", "bn", "ta", "te", "gu", "mr")
+  val builtinTimeLanguages: Seq[String] = Seq("hi", "bn", "ta", "gu", "mr")
 
   def date(lang: String): DateLangData = DateLangData(
     TupleDict.resource("date", lang, "date_constant.csv"),

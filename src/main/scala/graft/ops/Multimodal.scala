@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,13 +8,13 @@ import org.apache.spark.sql.types._
   * columns + typed metadata structs, with decode / feature-extract /
   * resize / frame-sample as partition-batched transforms.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape, null/error
-  * channels — is real and tested. The codec kernels themselves are STUBBED
-  * (this container ships no image/audio libraries): `decodeStub` derives a
-  * deterministic fake decode from the bytes, and the single place to swap in
-  * a real codec is marked. At scale the pattern is identical: mapPartitions
-  * batches rows so a native decoder amortizes per-partition init (the same
-  * shape as `mapInPandas` batches on the Python side).
+  * Image (PPM P6, 24-bit BMP) and audio (RIFF/WAVE PCM-16) decoding is REAL
+  * — from-scratch codecs in [[MediaCodecs]], no external libraries. Video
+  * frame extraction genuinely needs a codec library this container does not
+  * ship; `decodeVideoStub` is the single documented seam to swap in a real
+  * binding, and the frame-sampling plumbing around it is real. At scale the
+  * pattern is mapPartitions batching so decoder init amortizes per
+  * partition (the same shape as `mapInPandas` batches on the Python side).
   */
 object Multimodal {
 
@@ -30,52 +30,85 @@ object Multimodal {
       StructField("n_frames", IntegerType),
       StructField("codec", StringType))))))
 
-  /** Deterministic synthetic media table (payload = seeded pseudo-bytes). */
+  /** Deterministic synthetic media table with REAL payloads: images are
+    * valid PPM (even ids) / BMP (odd ids) files with seeded pixel content;
+    * audio is a valid PCM-16 WAV with seeded waveform; video payloads are
+    * opaque (no container format without a codec lib).
+    */
   def synthetic(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val genU = udf { (id: Long) =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val len = 64 + ((graft.index.Hashing.mix64(id ^ seed) & 0xff).toInt)
-      val bytes = new Array[Byte](len)
-      var h = graft.index.Hashing.mix64(id ^ seed ^ 0xbeefL)
-      var i = 0
-      while (i < len) {
-        bytes(i) = (h >>> ((i % 8) * 8)).toByte
-        if (i % 8 == 7) h = graft.index.Hashing.mix64(h)
-        i += 1
+      def rng(i: Long): Long = graft.index.Hashing.mix64(id ^ seed ^ i)
+      val payload: Array[Byte] = kind match {
+        case "image" =>
+          val w = 16 + (rng(1) & 15).toInt
+          val h = 16 + (rng(2) & 15).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) { rgb(i) = (rng(3 + i / 8) >>> ((i % 8) * 8)).toByte; i += 1 }
+          val img = MediaCodecs.Image(w, h, rgb)
+          if (id % 2 == 0) MediaCodecs.encodePpm(img)
+          else MediaCodecs.encodeBmp24(img)
+        case "audio" =>
+          val nSamp = 256 + (rng(1) & 255).toInt
+          val samples = new Array[Short](nSamp)
+          var i = 0
+          while (i < nSamp) { samples(i) = (rng(4 + i / 4) >>> ((i % 4) * 16)).toShort; i += 1 }
+          MediaCodecs.encodeWavPcm16(MediaCodecs.Audio(16000, 1, samples))
+        case _ =>
+          val len = 64 + (rng(1) & 0xff).toInt
+          val bytes = new Array[Byte](len)
+          var i = 0
+          while (i < len) { bytes(i) = (rng(5 + i / 8) >>> ((i % 8) * 8)).toByte; i += 1 }
+          bytes
       }
-      (kind, bytes)
+      (kind, payload)
     }
     spark.range(0, n, 1, math.max(2, spark.sparkContext.defaultParallelism))
       .withColumn("g", genU(col("id")))
       .select(col("id").as("media_id"), col("g._1").as("kind"),
         col("g._2").as("payload"),
         struct(
-          lit(64).as("width"), lit(64).as("height"),
+          lit(0).as("width"), lit(0).as("height"),
           lit(16000).as("sample_rate"), lit(16).as("n_frames"),
-          lit("stub").as("codec")).as("meta"))
+          when(col("g._1") === "image", "ppm|bmp")
+            .when(col("g._1") === "audio", "wav")
+            .otherwise("opaque").as("codec")).as("meta"))
   }
 
-  /** ==== STUB: swap this single function for a real codec binding ====
-    * Deterministic fake decode: 8x8 "luma grid" per image / 16-sample
-    * waveform per audio window, derived purely from payload bytes so tests
-    * are reproducible at any parallelism.
+  /** ==== the single remaining STUB: video frame decode ====
+    * Deterministic fake per-frame vector — swap for a real codec binding.
     */
-  def decodeStub(kind: String, payload: Array[Byte]): Array[Float] = {
-    val n = if (kind == "audio") 16 else 64
-    val out = new Array[Float](n)
+  def decodeVideoStub(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](64)
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < payload.length) { h = (h ^ payload(i)) * 0x100000001b3L; i += 1 }
     i = 0
-    while (i < n) {
+    while (i < out.length) {
       h = graft.index.Hashing.mix64(h + i)
       out(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
       i += 1
     }
     out
   }
+
+  /** Real per-row decode: PPM/BMP → 8x8 average-pooled luma grid; WAV →
+    * 16-window RMS energy; video → the documented stub. None = corrupt or
+    * unsupported payload (the error channel).
+    */
+  def decode(kind: String, payload: Array[Byte]): Option[Array[Float]] =
+    kind match {
+      case "image" =>
+        MediaCodecs.decodePpm(payload).orElse(MediaCodecs.decodeBmp24(payload))
+          .map(MediaCodecs.grayGrid(_))
+      case "audio" =>
+        MediaCodecs.decodeWavPcm16(payload).map(MediaCodecs.rmsWindows(_))
+      case "video" => Some(decodeVideoStub(payload))
+      case _ => None
+    }
 
   /** Decode + feature-extract, batched per partition (decoder init is
     * amortized per partition, not per row — the mapInPandas batch shape).
@@ -91,8 +124,10 @@ object Multimodal {
           // >>> per-partition decoder init would go here <<<
           it.map { case (id, kind, payload) =>
             try {
-              val f = decodeStub(kind, payload)
-              (id, kind, f, true)
+              decode(kind, payload) match {
+                case Some(f) => (id, kind, f, true)
+                case None => (id, kind, Array.empty[Float], false)
+              }
             } catch {
               case _: Exception => (id, kind, Array.empty[Float], false)
             }
@@ -102,8 +137,8 @@ object Multimodal {
   }
 
   /** Frame sampling for video: every `stride`-th frame index up to n_frames
-    * (pure metadata operation — the real pipeline hands (payload, frameIdx)
-    * pairs to the decoder).
+    * (metadata fan-out — the real pipeline hands (payload, frameIdx) pairs
+    * to the decoder seam).
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.filter(col("kind") === "video")
@@ -111,11 +146,37 @@ object Multimodal {
         sequence(lit(0), col("meta.n_frames") - 1, lit(stride)).as("frame_idx"))
       .select(col("media_id"), explode(col("frame_idx")).as("frame"))
 
-  /** Resize is metadata + payload transform; stubbed as metadata update. */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta",
-      struct(lit(w).as("width"), lit(h).as("height"),
-        col("meta.sample_rate").as("sample_rate"),
-        col("meta.n_frames").as("n_frames"),
-        col("meta.codec").as("codec")))
+  /** REAL image resize: decode (PPM or BMP), nearest-neighbor resample,
+    * re-encode as PPM, update metadata. Non-images and undecodable payloads
+    * pass through unchanged with their original meta.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val resized: Dataset[(Long, String, Array[Byte], Int, Int, Boolean)] =
+      media.select("media_id", "kind", "payload")
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, kind, payload) =>
+            if (kind != "image") (id, kind, payload, 0, 0, false)
+            else MediaCodecs.decodePpm(payload)
+              .orElse(MediaCodecs.decodeBmp24(payload)) match {
+              case Some(img) =>
+                val r = MediaCodecs.resizeNearest(img, w, h)
+                (id, kind, MediaCodecs.encodePpm(r), w, h, true)
+              case None => (id, kind, payload, 0, 0, false)
+            }
+          }
+        }
+    val out = resized.toDF("media_id", "kind", "payload", "width", "height",
+      "resized")
+    out.join(media.select(col("media_id"), col("meta").as("meta0")), "media_id")
+      .withColumn("meta", struct(
+        when(col("resized"), col("width")).otherwise(col("meta0.width")).as("width"),
+        when(col("resized"), col("height")).otherwise(col("meta0.height")).as("height"),
+        col("meta0.sample_rate").as("sample_rate"),
+        col("meta0.n_frames").as("n_frames"),
+        when(col("resized"), lit("ppm")).otherwise(col("meta0.codec")).as("codec")))
+      .select("media_id", "kind", "payload", "meta")
+  }
 }

@@ -139,6 +139,111 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN: k-means coarse quantizer ----
+
+  /** Trained IVF coarse quantizer: k centroids; vectors shard by nearest
+    * centroid (write `partitionBy("ivf_cluster")` for partition-pruned
+    * probes), queries scan only the `nprobe` nearest shards.
+    */
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    private def dist2(v: Array[Float], c: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i) - c(i); acc += d.toDouble * d; i += 1 }
+      acc
+    }
+    def assign(vec: Array[Float]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = dist2(vec, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    /** nprobe nearest centroid ids for a query (ties → smaller id). */
+    def probes(query: Array[Float], nprobe: Int): Seq[Int] =
+      centroids.indices
+        .sortBy(c => (dist2(query, centroids(c)), c))
+        .take(math.max(1, nprobe))
+  }
+
+  /** Deterministic Lloyd's k-means over an embedding column.
+    *
+    * Determinism at any parallelism (the engine invariant): centroid init is
+    * the k vectors with the smallest xxhash64(id) — a seeded sample with no
+    * RNG — and each update sums QUANTIZED coordinates (round(x * 2^20) as
+    * long) so the aggregation is exact integer math in any order; float
+    * averaging would drift with partitioning and flip assignments.
+    */
+  def trainIvf(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 8, seed: Long = 42L): IvfModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val init: Array[Array[Float]] = df
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("_id"), lit(seed)))
+      .orderBy("h", "_id")
+      .limit(k)
+      .select("v").as[Seq[Float]].collect().map(_.toArray)
+    var model = IvfModel(init)
+    val Scale = 1L << 20
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(model)
+      val assignU = udf((v: Seq[Float]) =>
+        if (v == null) -1 else bc.value.assign(v.toArray))
+      val qv = transform(col("v"), x => round(x.cast("double") * Scale).cast("long"))
+      val sums = df.select(col(vecCol).as("v"))
+        .filter(col("v").isNotNull)
+        .select(assignU(col("v")).as("c"), qv.as("q"))
+        .select(col("c"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("c", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)].collect()
+      val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+      val next = model.centroids.map(_.clone())
+      sums.groupBy(_._1).foreach { case (c, rows) =>
+        if (c >= 0 && c < next.length) {
+          val cent = new Array[Float](dim)
+          rows.foreach { case (_, pos, sx, n) =>
+            if (pos < dim) cent(pos) = (sx.toDouble / Scale / n).toFloat
+          }
+          next(c) = cent
+        } // empty clusters keep their previous centroid
+      }
+      model = IvfModel(next)
+    }
+    model
+  }
+
+  /** Cluster assignment column for the corpus (write once,
+    * `partitionBy("ivf_cluster")`).
+    */
+  def withIvfCluster(df: DataFrame, vecCol: String, model: IvfModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val assignU = udf((v: Seq[Float]) =>
+      if (v == null) -1 else bc.value.assign(v.toArray))
+    df.withColumn("ivf_cluster", assignU(col(vecCol)))
+  }
+
+  /** IVF probe: scan only the nprobe nearest clusters, exact cosine within.
+    * Partition-pruned when `clustered` is read from a table written
+    * `partitionBy("ivf_cluster")`.
+    */
+  def ivfKnn(clustered: DataFrame, vecCol: String, idCol: String,
+      model: IvfModel, query: Array[Float], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val probeIds = model.probes(query, nprobe)
+    val q = typedLit(query.toSeq)
+    clustered.filter(col("ivf_cluster").isin(probeIds: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Quantized dot-product top-k: vectors quantized to round(x*1000) —
     * exact integer math, used as the cross-engine SQL-checkable variant
     * (float summation order can differ between engines; ints cannot).

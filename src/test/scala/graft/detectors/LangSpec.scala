@@ -99,6 +99,23 @@ class LangSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.head.dd == 16 && out.head.mm == 1)
   }
 
+  test("every built-in language's tables compile into working engines") {
+    for (l <- LangData.builtinDateLanguages) {
+      val det = new StandardDateRegex(LangData.date(l), refDate)
+      // the gregorian format is language-independent — must fire everywhere
+      assert(det.detect("15/2/26 ko").nonEmpty, s"date lang $l")
+    }
+    for (l <- LangData.builtinTimeLanguages) {
+      val det = new StandardTimeRegex(LangData.time(l), refTime)
+      assert(det.detect("5:30").nonEmpty, s"time lang $l")
+    }
+    // spot semantics beyond loading: ta 'நாளை' (tomorrow), mr 'उद्या'
+    assert(new StandardDateRegex(LangData.date("ta"), refDate)
+      .detect("நாளை வருவேன்").headOption.exists(_.dd == 16))
+    assert(new StandardDateRegex(LangData.date("mr"), refDate)
+      .detect("उद्या येतो").headOption.exists(_.dd == 16))
+  }
+
   // ---- time ----
 
   private val refTime = LocalDateTime.of(2026, 1, 15, 14, 15)

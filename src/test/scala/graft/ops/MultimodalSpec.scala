@@ -12,7 +12,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.select("kind").distinct().count() == 3)
   }
 
-  test("feature extraction is batched, deterministic, typed") {
+  test("codecs: PPM / BMP / WAV roundtrip exactly") {
+    val img = MediaCodecs.Image(3, 2,
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90,
+        -10, -20, -30, -40, -50, -60, -70, -80, -90))
+    assert(MediaCodecs.decodePpm(MediaCodecs.encodePpm(img)).contains(img.copy(
+      rgb = img.rgb)) || {
+      val d = MediaCodecs.decodePpm(MediaCodecs.encodePpm(img)).get
+      d.width == 3 && d.height == 2 && d.rgb.toSeq == img.rgb.toSeq
+    })
+    val db = MediaCodecs.decodeBmp24(MediaCodecs.encodeBmp24(img)).get
+    assert(db.width == 3 && db.height == 2 && db.rgb.toSeq == img.rgb.toSeq)
+    val a = MediaCodecs.Audio(16000, 1,
+      Array[Short](0, 1000, -1000, 32767, -32768, 7))
+    val da = MediaCodecs.decodeWavPcm16(MediaCodecs.encodeWavPcm16(a)).get
+    assert(da.sampleRate == 16000 && da.channels == 1 &&
+      da.samples.toSeq == a.samples.toSeq)
+  }
+
+  test("feature kernels: luma grid and RMS behave on known inputs") {
+    // 2x2 image: white / black / black / white → grid cells hit exactly
+    val white: Byte = -1 // 0xff
+    val img = MediaCodecs.Image(2, 2,
+      Array[Byte](white, white, white, 0, 0, 0, 0, 0, 0, white, white, white))
+    val g = MediaCodecs.grayGrid(img, grid = 2)
+    assert(math.abs(g(0) - 1.0f) < 1e-3 && math.abs(g(1)) < 1e-3)
+    assert(math.abs(g(2)) < 1e-3 && math.abs(g(3) - 1.0f) < 1e-3)
+    // silence → zero RMS; full-scale square wave → ~1.0 RMS
+    val silent = MediaCodecs.rmsWindows(MediaCodecs.Audio(16000, 1,
+      Array.fill[Short](160)(0)), 16)
+    assert(silent.forall(_ == 0f))
+    val loud = MediaCodecs.rmsWindows(MediaCodecs.Audio(16000, 1,
+      Array.fill[Short](160)(32767)), 16)
+    assert(loud.forall(v => math.abs(v - 1.0f) < 1e-3))
+  }
+
+  test("feature extraction REALLY decodes: batched, deterministic, typed") {
     val m = Multimodal.synthetic(spark, 30)
     val f = Multimodal.extractFeatures(m)
     val rows = f.select("media_id", "kind", "features", "decode_ok")
@@ -20,11 +55,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.length == 30 && rows.forall(_._4))
     assert(rows.filter(_._2 == "audio").forall(_._3.length == 16))
     assert(rows.filter(_._2 == "image").forall(_._3.length == 64))
+    // luma grids are in [0,1] and non-degenerate (real pixels, not a hash)
+    assert(rows.filter(_._2 == "image")
+      .forall(r => r._3.forall(v => v >= 0f && v <= 1f) && r._3.distinct.length > 8))
     // deterministic at different parallelism
     val f2 = Multimodal.extractFeatures(m.repartition(7))
       .select("media_id", "features").as[(Long, Array[Float])]
       .collect().toMap
     for ((id, _, feat, _) <- rows) assert(f2(id).toSeq == feat.toSeq)
+  }
+
+  test("corrupt payloads land on the error channel, not as exceptions") {
+    val bad = Seq(
+      (100L, "image", Array[Byte](1, 2, 3)),
+      (101L, "audio", "not a wav".getBytes.toArray))
+      .toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeatures(bad)
+      .select("media_id", "decode_ok").as[(Long, Boolean)].collect().toMap
+    assert(!f(100L) && !f(101L))
   }
 
   test("frame sampling explodes only videos with stride") {
@@ -35,11 +83,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(perVideo.nonEmpty && perVideo.forall(_ == 4)) // 16 frames / stride 4
   }
 
-  test("resize updates metadata without touching payload") {
-    val m = Multimodal.synthetic(spark, 6)
-    val r = Multimodal.resize(m, 224, 224)
-    assert(r.select("meta.width").as[Int].collect().forall(_ == 224))
-    assert(r.select("payload").as[Array[Byte]].collect().map(_.toSeq).toSet ==
-      m.select("payload").as[Array[Byte]].collect().map(_.toSeq).toSet)
+  test("resize REALLY resamples image pixels and re-encodes") {
+    val m = Multimodal.synthetic(spark, 9)
+    val r = Multimodal.resize(m, 24, 24)
+    val imgs = r.filter($"kind" === "image")
+      .select("payload", "meta.width", "meta.height")
+      .as[(Array[Byte], Int, Int)].collect()
+    assert(imgs.nonEmpty)
+    for ((payload, w, h) <- imgs) {
+      assert(w == 24 && h == 24)
+      val dec = MediaCodecs.decodePpm(payload).get
+      assert(dec.width == 24 && dec.height == 24)
+    }
+    // non-images pass through untouched
+    val audio0 = m.filter($"kind" === "audio").select("payload")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    val audio1 = r.filter($"kind" === "audio").select("payload")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(audio0 == audio1)
   }
 }

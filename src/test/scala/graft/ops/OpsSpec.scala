@@ -107,6 +107,31 @@ class OpsSpec extends SparkTestBase {
     assert(ann.intersect(brute).size >= 5, s"recall too low: ${ann.intersect(brute).size}/10")
   }
 
+  test("ivf ann: deterministic training, recall vs brute force") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val data = (0L until 400L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val model = Similarity.trainIvf(data, "embedding", "vec_id", k = 8, iters = 5)
+    // determinism: different input partitioning → bit-identical centroids
+    // (quantized-integer centroid sums, hash-seeded init — no RNG)
+    val model2 = Similarity.trainIvf(data.repartition(7), "embedding",
+      "vec_id", k = 8, iters = 5)
+    assert(model.centroids.map(_.toSeq).toSeq == model2.centroids.map(_.toSeq).toSeq)
+    // probes cover a fraction of the corpus but recover most of the top-10
+    val clustered = Similarity.withIvfCluster(data, "embedding", model)
+    val scanned = clustered
+      .filter(col("ivf_cluster").isin(model.probes(q, 3): _*)).count()
+    assert(scanned < 400, "probing must prune")
+    val brute = Similarity.bruteKnn(data, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfKnn(clustered, "embedding", "vec_id", model, q,
+      10, nprobe = 3).select("vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(brute).size >= 6,
+      s"recall too low: ${ivf.intersect(brute).size}/10 (scanned $scanned/400)")
+  }
+
   test("quantized dot knn is exact integer math") {
     val vecs = Seq((0L, Array(0.5f, 0.25f)), (1L, Array(0.5f, 0.25f)),
       (2L, Array(-0.5f, -0.25f))).toDF("vec_id", "embedding")
