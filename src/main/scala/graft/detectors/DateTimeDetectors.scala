@@ -49,10 +49,12 @@ final class DateDetector(referenceDate: LocalDate,
     raw"\b(\d{4})\s?[/.\-]\s?(\d{1,2})\s?[/.\-]\s?(\d{1,2})\b")
   private val ddmmyyyy = Pattern.compile(
     raw"\b(\d{1,2})\s?[/.\-]\s?(\d{1,2})(?:\s?[/.\-]\s?((?:\d{2})?\d{2}))\b")
+  // [-/ ] separators admit the advanced text-month forms ("26-dec-2024",
+  // reference format 4) alongside the spaced ones
   private val dayMonth = Pattern.compile(
-    raw"\b(\d{1,2})\s*(?:st|nd|rd|th)?\s*(?:of\s+)?($monthAlt)\.?(?:\s+(\d{4}))?\b")
+    raw"\b(\d{1,2})\s*(?:st|nd|rd|th)?[\s/\-]*(?:of\s+)?($monthAlt)\.?(?:[\s/\-,]+(\d{4}))?\b")
   private val monthDay = Pattern.compile(
-    raw"\b($monthAlt)\.?\s+(\d{1,2})\s*(?:st|nd|rd|th)?(?:\s*,?\s*(\d{4}))?\b")
+    raw"\b($monthAlt)\.?[\s/\-]+(\d{1,2})\s*(?:st|nd|rd|th)?(?:[\s/\-,]+(\d{4}))?\b")
   private val yearMonthDay = Pattern.compile(
     raw"\b(\d{4})\s+($monthAlt)\.?\s+(\d{1,2})\s*(?:st|nd|rd|th)?\b")
   private val yearDayMonth = Pattern.compile(
@@ -369,6 +371,9 @@ final class TimeDetector(entityName: String = "time") {
     raw"\b(noon|afternoon|evening|evng|evning|sham|lunch|dinner)\b")
   private val nightWords = Pattern.compile(
     raw"\b(night|nite|tonight|latenight|tonit|nit|rat)\b")
+  // "19 hrs" / "at 07 hours" — 24h hour-only military form
+  private val restricted24 = Pattern.compile(
+    raw"\b(\d{1,2})\s?(?:hrs|hours)\b")
 
   def detect(text0: String): Seq[DetectedTime] = {
     var processed = text0.toLowerCase(java.util.Locale.ROOT)
@@ -471,6 +476,17 @@ final class TimeDetector(entityName: String = "time") {
         val hh = m.group(1).toInt
         val mm = m.group(2).toInt
         if (hh <= 23 && mm < 60) found += DetectedTime(hh, mm, "hrs", m.group().strip())
+      }
+      found.foreach(add)
+    }
+    // 3b. restricted 24h without minutes: "at 19 hrs" (reference
+    // _detect_restricted_24_hour_format)
+    locally {
+      val m = restricted24.matcher(processed)
+      val found = ListBuffer.empty[DetectedTime]
+      while (m.find()) {
+        val hh = m.group(1).toInt
+        if (hh <= 23) found += DetectedTime(hh, 0, "hrs", m.group().strip())
       }
       found.foreach(add)
     }

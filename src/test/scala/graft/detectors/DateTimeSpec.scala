@@ -70,6 +70,12 @@ class DateTimeSpec extends AnyFunSuite {
     assert(dates("audit 2027 5th june sharp") == Seq((5, 6, 2027)))
   }
 
+  test("advanced text-month separators (reference format 4)") {
+    assert(dates("due 26-dec-2027 ok") == Seq((26, 12, 2027)))
+    assert(dates("due 26/dec/2027 ok") == Seq((26, 12, 2027)))
+    assert(dates("dec-26-2027") == Seq((26, 12, 2027)))
+  }
+
   test("possible-day ordinals (reference formats 18-20)") {
     // ref is 2026-08-16: 23rd hasn't passed → this month
     assert(dates("lets do the 23rd") == Seq((23, 8, 2026)))
@@ -114,6 +120,13 @@ class DateTimeSpec extends AnyFunSuite {
     assert(times("in 20 mins") == Seq((0, 20, "df")))
     assert(times("after 2 hours") == Seq((2, 0, "df")))
     assert(times("no time here").isEmpty)
+  }
+
+  test("restricted 24h hour-only form ('19 hrs')") {
+    assert(times("lands at 19 hrs sharp") == Seq((19, 0, "hrs")))
+    // diff/every forms keep priority over the bare-hours reading
+    assert(times("after 2 hours call me") == Seq((2, 0, "df")))
+    assert(times("take it every 6 hours") == Seq((6, 0, "ev")))
   }
 
   test("span ordering across formats") {
