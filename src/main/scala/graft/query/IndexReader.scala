@@ -28,6 +28,7 @@ final class IndexReader private (
     spark: SparkSession,
     val indexDir: String,
     val meta: SnapshotMeta,
+    cfg: IndexReader.ReaderConfig,
     dictMap: Option[Map[String, Searcher.TermStats]],
     segMap: Option[Map[(String, Int), Seq[IndexReader.SegShard]]]) {
 
@@ -64,13 +65,26 @@ final class IndexReader private (
     Searcher.ResolvedQuery(terms.sortBy(_.term), meta)
   }
 
+  /** Distributed-tier dictionary entries resolved so far (a snapshot is
+    * immutable, so entries never go stale; negative lookups cached too).
+    * Query vocabularies are tiny next to posting bytes — capped for safety.
+    */
+  private val dictCache = TrieMap.empty[String, Option[Searcher.TermStats]]
+
   private def lookup(tokens: Seq[String]): Seq[Searcher.TermStats] =
     dictMap match {
       case Some(m) => tokens.flatMap(m.get)
       case None =>
-        dictDf.filter(col("term").isin(tokens: _*))
-          .select("term", "df", "maxTf", "numSalts").collect().toSeq
-          .map(r => Searcher.TermStats(r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        val missing = tokens.filterNot(dictCache.contains)
+        if (missing.nonEmpty) {
+          if (dictCache.size > 1000000) dictCache.clear()
+          val found = dictDf.filter(col("term").isin(missing: _*))
+            .select("term", "df", "maxTf", "numSalts").collect()
+            .map(r => r.getString(0) -> Searcher.TermStats(r.getString(0),
+              r.getLong(1), r.getInt(2), r.getInt(3))).toMap
+          missing.foreach(t => dictCache.put(t, found.get(t)))
+        }
+        tokens.flatMap(t => dictCache.getOrElse(t, None))
     }
 
   /** ES-style fuzzy expansion (auto:4,7, prefix_length 1, max 50/token —
@@ -86,10 +100,64 @@ final class IndexReader private (
 
   // ---- search ----
 
+  /** Per-term shard cache for the distributed tier — the ES coordinator
+    * model: the FIRST query touching a term fetches that term's (salt)
+    * shards with one narrow pushdown job; repeats serve driver-locally at
+    * cached-tier latency. Byte-budgeted with FIFO eviction; a query whose
+    * terms exceed the budget falls back to scatter-gather.
+    */
+  private val shardCache =
+    TrieMap.empty[String, Seq[(String, Int, Int, Int, Array[Byte])]]
+  private val shardCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val shardCacheOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def fetchShards(rq: Searcher.ResolvedQuery):
+      Option[Seq[(String, Int, Int, Int, Array[Byte])]] = {
+    import spark.implicits._
+    val missing = rq.terms.map(_.term).filterNot(shardCache.contains)
+    if (missing.nonEmpty) {
+      val fetched = segsDs
+        .filter(col("term").isin(missing: _*))
+        .as[(String, Int, Int, Int, Array[Byte])]
+        .collect()
+        .groupBy(_._1)
+      for (t <- missing) {
+        val shards = fetched.getOrElse(t, Array.empty).toSeq
+        val bytes = shards.map(_._5.length.toLong).sum
+        if (bytes <= cfg.maxQueryShardCacheBytes) {
+          // evict FIFO until the new term fits
+          while (shardCacheBytes.get() + bytes > cfg.maxQueryShardCacheBytes &&
+            !shardCacheOrder.isEmpty) {
+            val victim = shardCacheOrder.poll()
+            shardCache.remove(victim).foreach(vs =>
+              shardCacheBytes.addAndGet(-vs.map(_._5.length.toLong).sum))
+          }
+          if (shardCacheBytes.get() + bytes <= cfg.maxQueryShardCacheBytes) {
+            shardCache.put(t, shards)
+            shardCacheOrder.add(t)
+            shardCacheBytes.addAndGet(bytes)
+          }
+        }
+      }
+    }
+    val all = rq.terms.flatMap(t => shardCache.get(t.term))
+    if (all.length == rq.terms.length) Some(all.flatten) else None
+  }
+
   def searchHits(rq: Searcher.ResolvedQuery, k: Int): Array[Hit] = {
     if (rq.terms.isEmpty) return Array.empty
     segMap match {
       case Some(m) => searchLocal(m, rq, k)
+      case None if cfg.maxQueryShardCacheBytes > 0 =>
+        fetchShards(rq) match {
+          case Some(shards) =>
+            val m = shards.groupBy(s => (s._1, s._2))
+              .view.mapValues(_.map(s => SegShard(s._3, s._4, s._5)).toSeq)
+              .toMap
+            searchLocal(m, rq, k)
+          case None => Searcher.searchDistributed(spark, segsDs, rq, k)
+        }
       case None => Searcher.searchDistributed(spark, segsDs, rq, k)
     }
   }
@@ -134,7 +202,12 @@ object IndexReader {
     */
   final case class ReaderConfig(
       maxDriverVocab: Long = 2000000L,
-      maxDriverPostingBytes: Long = 1024L << 20)
+      maxDriverPostingBytes: Long = 1024L << 20,
+      /** per-query term-shard cache budget for the distributed tier (the
+        * coordinator/shard-fetch model); 0 disables — every query then runs
+        * scatter-gather (the path EngineSpec pins bit-identical).
+        */
+      maxQueryShardCacheBytes: Long = 256L << 20)
 
   private val openReaders = TrieMap.empty[(String, Int, ReaderConfig), IndexReader]
 
@@ -171,7 +244,7 @@ object IndexReader {
             .toMap
           (Some(dm), Some(sm))
         }
-      new IndexReader(spark, indexDir, meta, dictMap, segMap)
+      new IndexReader(spark, indexDir, meta, cfg, dictMap, segMap)
     })
   }
 }

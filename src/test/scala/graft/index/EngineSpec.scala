@@ -137,17 +137,32 @@ class EngineSpec extends SparkTestBase {
       Searcher.resolve(spark, dirDelta, "import"), 10).nonEmpty)
   }
 
-  test("distributed serving tier is bit-identical to the driver-cached tier") {
+  test("all three serving tiers are bit-identical") {
     import graft.query.IndexReader
-    // zero driver budget forces the persisted-Dataset scatter-gather path
+    // zero budgets force the persisted-Dataset scatter-gather path
     val distReader = IndexReader.open(spark, indexDir,
-      IndexReader.ReaderConfig(maxDriverVocab = 0, maxDriverPostingBytes = 0))
+      IndexReader.ReaderConfig(maxDriverVocab = 0, maxDriverPostingBytes = 0,
+        maxQueryShardCacheBytes = 0))
+    // the coordinator tier: shards fetched per query, cached by term
+    val coordReader = IndexReader.open(spark, indexDir,
+      IndexReader.ReaderConfig(maxDriverVocab = 0, maxDriverPostingBytes = 0,
+        maxQueryShardCacheBytes = 64L << 20))
     val cachedReader = IndexReader.open(spark, indexDir)
     for (q <- querySet) {
       val d = distReader.searchHits(distReader.resolve(q), 20).toSeq
+      val s = coordReader.searchHits(coordReader.resolve(q), 20).toSeq
+      val s2 = coordReader.searchHits(coordReader.resolve(q), 20).toSeq // warm
       val c = cachedReader.searchHits(cachedReader.resolve(q), 20).toSeq
-      assert(d == c, s"query='$q' differs across serving tiers")
+      assert(d == c, s"query='$q' differs: scatter-gather vs driver-cached")
+      assert(s == c && s2 == c, s"query='$q' differs: coordinator tier")
     }
+    // a tiny cache budget falls back to scatter-gather, same results
+    val tinyReader = IndexReader.open(spark, indexDir,
+      IndexReader.ReaderConfig(maxDriverVocab = 0, maxDriverPostingBytes = 0,
+        maxQueryShardCacheBytes = 1))
+    val q0 = querySet.head
+    assert(tinyReader.searchHits(tinyReader.resolve(q0), 20).toSeq ==
+      cachedReader.searchHits(cachedReader.resolve(q0), 20).toSeq)
     // fuzzy expansion too (Spark-job path vs in-memory scan)
     val fq = "improt snapshto"
     val dRq = distReader.resolve(fq, fuzzy = true)
