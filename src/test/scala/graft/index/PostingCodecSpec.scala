@@ -7,6 +7,70 @@ import org.scalacheck.rng.Seed
 /** Property tests drive scalacheck Gen with fixed seeds (the sandbox cache
   * has no scalatestplus bridge) — deterministic across runs.
   */
+class PostingCodecNormsPropSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  /** Randomized roundtrip across the v3 format space: norms on/off, block
+    * boundaries, large gaps, negative-leading ids. Deterministic seeds.
+    */
+  test("property: decode(encode(p)) == p with and without norms") {
+    val genList = for {
+      n <- Gen.chooseNum(0, 700)
+      withNorms <- Gen.oneOf(true, false)
+      gaps <- Gen.listOfN(n, Gen.chooseNum(1L, 1L << 41))
+      tfs <- Gen.listOfN(n, Gen.chooseNum(1, 5000))
+      dls <- Gen.listOfN(n, Gen.chooseNum(1, 200000))
+      start <- Gen.chooseNum(-1000L, 1L << 50)
+    } yield {
+      var id = start
+      gaps.zip(tfs.zip(dls)).map { case (g, (tf, dl)) =>
+        id += g
+        Posting(id, tf, if (withNorms) dl else 0)
+      }.toArray
+    }
+    for (i <- 1 to 200) {
+      val ps = genList(Gen.Parameters.default, Seed(i.toLong)).get
+      val decoded = PostingCodec.decode(PostingCodec.encode(ps))
+      assert(decoded.toSeq == ps.toSeq, s"seed $i")
+      // cursor agrees with full decode, including doclen
+      val cur = new PostingCodec.BlockCursor(PostingCodec.encode(ps))
+      var j = 0
+      while (cur.next()) {
+        assert(cur.docId == ps(j).docId && cur.tf == ps(j).tf &&
+          cur.doclen == ps(j).doclen, s"seed $i posting $j")
+        j += 1
+      }
+      assert(j == ps.length)
+    }
+  }
+
+  test("property: block min-doclen bounds every posting in the block") {
+    val rnd = new scala.util.Random(99)
+    var id = 0L
+    val ps = Array.fill(1000) {
+      id += 1 + rnd.nextInt(5)
+      Posting(id, 1 + rnd.nextInt(50), 1 + rnd.nextInt(999))
+    }
+    val cur = new PostingCodec.BlockCursor(PostingCodec.encode(ps))
+    var done = false
+    while (!done && cur.shallowAdvance(cur.blockLastDocId + 1)) {
+      val minDl = cur.currentBlockMinDoclen
+      val last = cur.currentBlockLastDocId
+      // decode the block via advanceTo and check the bound
+      val check = new PostingCodec.BlockCursor(PostingCodec.encode(ps))
+      check.advanceTo(cur.blockFirstDocId)
+      var ok = true
+      while (ok && check.docId <= last) {
+        assert(check.doclen >= minDl)
+        ok = check.next()
+      }
+      done = last == ps.last.docId
+    }
+    assert(done)
+  }
+}
+
 class PostingCodecSpec extends AnyFunSuite {
 
   private def samples[T](g: Gen[T], n: Int): Seq[T] = {
