@@ -184,8 +184,9 @@ object Bench {
         val status =
           try { fn(spark, sfDir).collect(); "ok" }
           catch { case e: Throwable =>
-            "err: " + Option(e.getMessage).getOrElse(e.getClass.getName)
-              .linesIterator.next().take(160)
+            val msg = Option(e.getMessage).filter(_.nonEmpty)
+              .getOrElse(e.getClass.getName)
+            "err: " + msg.linesIterator.nextOption().getOrElse("").take(160)
           }
         (name, (System.nanoTime() - t0) / 1e9, status)
       }

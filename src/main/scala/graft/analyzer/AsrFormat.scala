@@ -185,7 +185,11 @@ object AsrFormat {
     */
   def asrCorrection(inputText: String, regexPattern: String): String = {
     var t = inputText
-    for ((frag, rep) <- characterConstants.toSeq.sortBy(_._1.length))
+    // longest-first: a 1-char letter ('ए') must not mangle a longer one
+    // that contains it ('एच','एफ',...). Documented divergence: the
+    // reference replaces shortest-first (text_normalization.py:158
+    // sorted(key=len)), which garbles exactly those prefixed letters.
+    for ((frag, rep) <- characterConstants.toSeq.sortBy(-_._1.length))
       t = t.replace(frag, rep)
     fitTextToFormat(t, regexPattern)
   }

@@ -467,8 +467,17 @@ object IndexBuilder {
   def buildDelta(newCorpus: DataFrame, indexDir: String,
       cfg: IndexConfig = IndexConfig(),
       onStageTime: (String, Double) => Unit = (_, _) => ()): SnapshotMeta = {
-    val prevOpt = Snapshot.load(indexDir)
+    val anySnapshot = Snapshot.load(indexDir)
+    val prevOpt = anySnapshot
       .filter(_.formatVersion == Snapshot.CurrentFormatVersion)
+    // a stale-format snapshot must NOT silently become a full build of just
+    // this batch — that would swap the pointer to an index missing every
+    // previously indexed doc; the caller owns the full corpus and must
+    // rebuild from it (StreamingIngest does exactly that)
+    require(anySnapshot.isEmpty || prevOpt.nonEmpty,
+      s"snapshot at $indexDir has a stale on-disk format " +
+        s"(${anySnapshot.get.formatVersion} != ${Snapshot.CurrentFormatVersion})" +
+        " — rebuild with a full build over the complete corpus")
     if (prevOpt.isEmpty) return build(newCorpus, indexDir, cfg, None, onStageTime)
     val prev = prevOpt.get
     require(prev.numBuckets == cfg.numBuckets && prev.maxSalts == cfg.maxSalts &&

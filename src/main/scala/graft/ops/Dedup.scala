@@ -98,9 +98,9 @@ object Dedup {
       }
     }
 
-    // persist the signatures: the banded self-join and the verify joins
-    // would otherwise re-run the signature UDF once per plan branch
-    // (signatures are numHashes longs/doc — the standard LSH working set)
+    // persist the signatures while generating candidates: the banded
+    // self-join would otherwise re-run the signature UDF once per plan
+    // branch; released again below once candidates are materialized
     val withSig = df
       .select(col(idCol).as("_id"), sigU(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
@@ -123,17 +123,21 @@ object Dedup {
 
     val a = capped.select(col("band"), col("key"), col("_id").as("idA"))
     val b = capped.select(col("band"), col("key"), col("_id").as("idB"))
+    // candidates are SMALL by construction (bucket cap bounds the fan-out):
+    // materialize them eagerly so the signature cache can be released here
+    // instead of leaking for the session lifetime; localCheckpoint blocks
+    // are GC-reclaimed with the plan, unlike registered caches
     val cand = a.join(b, Seq("band", "key"))
       .filter(col("idA") < col("idB"))
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
+      .localCheckpoint(true)
+    withSig.unpersist(false)
 
     // exact verify on candidates only (ADVICE round 1: the threshold must
-    // operate on the exact Jaccard, not the signature estimate); persisted —
-    // joined once per pair side
+    // operate on the exact Jaccard, not the signature estimate)
     val sh = df.select(col(idCol).as("_jid"),
       shingles(col(textCol), shingleSize).as("_jsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sh.withColumnRenamed("_jid", "idA").withColumnRenamed("_jsh", "shA"), Seq("idA"))
       .join(sh.withColumnRenamed("_jid", "idB").withColumnRenamed("_jsh", "shB"), Seq("idB"))

@@ -50,9 +50,9 @@ object MediaCodecs {
       w <- readInt()
       h <- readInt()
       maxv <- readInt()
-      if maxv == 255 && w > 0 && h > 0 && w * h <= (1 << 26)
+      if maxv == 255 && w > 0 && h > 0 && w.toLong * h <= (1L << 26)
       _ = { pos += 1 } // single whitespace after maxval
-      if bytes.length - pos >= w * h * 3
+      if bytes.length.toLong - pos >= w.toLong * h * 3
     } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
   }
 
@@ -72,7 +72,7 @@ object MediaCodecs {
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
     if (bpp != 24 || compression != 0 || width <= 0 || height <= 0 ||
-      width.toLong * height > (1 << 26)) return None
+      dataOffset < 54 || width.toLong * height > (1L << 26)) return None
     val rowSize = ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
     if (bytes.length < dataOffset + rowSize.toLong * height) return None
     val rgb = new Array[Byte](width * height * 3)

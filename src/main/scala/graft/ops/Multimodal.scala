@@ -159,12 +159,18 @@ object Multimodal {
         .mapPartitions { it =>
           it.map { case (id, kind, payload) =>
             if (kind != "image") (id, kind, payload, 0, 0, false)
-            else MediaCodecs.decodePpm(payload)
-              .orElse(MediaCodecs.decodeBmp24(payload)) match {
-              case Some(img) =>
-                val r = MediaCodecs.resizeNearest(img, w, h)
-                (id, kind, MediaCodecs.encodePpm(r), w, h, true)
-              case None => (id, kind, payload, 0, 0, false)
+            else try {
+              MediaCodecs.decodePpm(payload)
+                .orElse(MediaCodecs.decodeBmp24(payload)) match {
+                case Some(img) =>
+                  val r = MediaCodecs.resizeNearest(img, w, h)
+                  (id, kind, MediaCodecs.encodePpm(r), w, h, true)
+                case None => (id, kind, payload, 0, 0, false)
+              }
+            } catch {
+              // corrupt payloads pass through on the error channel — one
+              // bad row must not fail the job
+              case _: Exception => (id, kind, payload, 0, 0, false)
             }
           }
         }

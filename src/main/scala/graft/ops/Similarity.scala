@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** round-half-away-from-zero on the DOUBLE product — exactly what Spark's
+    * round(cast(x as double) * 1000) and DuckDB's round compute; Scala's
+    * math.round(Float) rounds the float product half-toward-+infinity and
+    * diverges on negative .5 boundaries.
+    */
+  private def q1000(x: Float): Long = {
+    val v = x.toDouble * 1000
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+  }
+
   /** Elementwise dot product of two float-array columns, computed in double
     * in array order (deterministic summation).
     */
@@ -124,7 +134,7 @@ object Similarity {
     */
   def quantizedCosKnn(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int): DataFrame = {
-    val qInt = typedLit(query.map(x => math.round(x * 1000).toLong).toSeq)
+    val qInt = typedLit(query.map(q1000).toSeq)
     val vInt = transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
     val sign = when(col("dot") < 0, lit(-1.0)).otherwise(lit(1.0))
     val key = when(col("na2") > 0,
@@ -250,7 +260,7 @@ object Similarity {
     */
   def quantizedDotKnn(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int): DataFrame = {
-    val qInt = typedLit(query.map(x => math.round(x * 1000).toLong).toSeq)
+    val qInt = typedLit(query.map(q1000).toSeq)
     val vInt = transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
     df.select(col(idCol),
         aggregate(zip_with(vInt, qInt, (x, y) => x * y), lit(0L), (a, v) => a + v)

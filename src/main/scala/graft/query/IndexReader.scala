@@ -122,21 +122,25 @@ final class IndexReader private (
         .as[(String, Int, Int, Int, Array[Byte])]
         .collect()
         .groupBy(_._1)
-      for (t <- missing) {
-        val shards = fetched.getOrElse(t, Array.empty).toSeq
-        val bytes = shards.map(_._5.length.toLong).sum
-        if (bytes <= cfg.maxQueryShardCacheBytes) {
-          // evict FIFO until the new term fits
-          while (shardCacheBytes.get() + bytes > cfg.maxQueryShardCacheBytes &&
-            !shardCacheOrder.isEmpty) {
-            val victim = shardCacheOrder.poll()
-            shardCache.remove(victim).foreach(vs =>
-              shardCacheBytes.addAndGet(-vs.map(_._5.length.toLong).sum))
-          }
-          if (shardCacheBytes.get() + bytes <= cfg.maxQueryShardCacheBytes) {
-            shardCache.put(t, shards)
-            shardCacheOrder.add(t)
-            shardCacheBytes.addAndGet(bytes)
+      // single lock around accounting: two threads fetching the same term
+      // must not double-insert into the FIFO or double-count the bytes
+      shardCacheOrder.synchronized {
+        for (t <- missing if !shardCache.contains(t)) {
+          val shards = fetched.getOrElse(t, Array.empty).toSeq
+          val bytes = shards.map(_._5.length.toLong).sum
+          if (bytes <= cfg.maxQueryShardCacheBytes) {
+            // evict FIFO until the new term fits
+            while (shardCacheBytes.get() + bytes > cfg.maxQueryShardCacheBytes &&
+              !shardCacheOrder.isEmpty) {
+              val victim = shardCacheOrder.poll()
+              shardCache.remove(victim).foreach(vs =>
+                shardCacheBytes.addAndGet(-vs.map(_._5.length.toLong).sum))
+            }
+            if (shardCacheBytes.get() + bytes <= cfg.maxQueryShardCacheBytes) {
+              shardCache.put(t, shards)
+              shardCacheOrder.add(t)
+              shardCacheBytes.addAndGet(bytes)
+            }
           }
         }
       }

@@ -42,9 +42,11 @@ object StreamingIngest {
     Snapshot.load(storeDir)
       .filter(_.formatVersion == Snapshot.CurrentFormatVersion) match {
       case Some(prev) if prev.allVersions.length < maxDeltaChain =>
-        IndexBuilder.buildDelta(
-          batch.select("repo", "path", "commit", "lang", "content"),
-          storeDir, cfg)
+        // delta over the FULL managed corpus, not just this batch: rows a
+        // crashed batch appended before its snapshot commit are still
+        // unindexed, and buildDelta's anti-join on already-indexed keys
+        // reduces the work to exactly the missing rows
+        IndexBuilder.buildDelta(fullCorpus, storeDir, cfg)
       case _ =>
         // first build, stale format, or compaction point: full rebuild
         IndexBuilder.build(fullCorpus, storeDir, cfg)
