@@ -52,4 +52,24 @@ class StreamingSpec extends SparkTestBase {
     q3.stop()
     assert(Snapshot.load(dir).get.numDocs == 120)
   }
+
+  test("crash recovery: rows appended without a snapshot commit are indexed by the next batch") {
+    val dir = tmpDir("graft-stream-crash")
+    def rows(ids: Range) =
+      ids.map { i =>
+        (CodeCorpus.repoOf(i, 9L), CodeCorpus.pathOf(i, 9L)._1,
+          CodeCorpus.commitOf(i, 9L), CodeCorpus.pathOf(i, 9L)._2,
+          CodeCorpus.content(i, 9L))
+      }.toDF("repo", "path", "commit", "lang", "content")
+    StreamingIngest.appendBatch(spark, dir, rows(0 until 40))
+    assert(Snapshot.load(dir).get.numDocs == 40)
+    // simulate a batch that appended to the corpus then died before its
+    // snapshot commit: write rows 40..60 directly to the corpus dir
+    rows(40 until 60).write.mode("append")
+      .parquet(StreamingIngest.corpusDir(dir))
+    // the next successful batch must pick them up (delta over full corpus)
+    StreamingIngest.appendBatch(spark, dir, rows(60 until 70))
+    assert(Snapshot.load(dir).get.numDocs == 70)
+    assert(Snapshot.load(dir).get.baseVersions.nonEmpty)
+  }
 }
