@@ -258,7 +258,9 @@ object SparkEntry {
       // point lookup + exact cosine within candidates (Similarity scaladoc)
       val qv = table(s, d, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
-      val srpDir = s"/tmp/graft_srp_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      // params in the path: a table materialized under OLD parameters must
+      // never serve probes computed with new ones
+      val srpDir = s"/tmp/graft_srp_b6_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       if (!new java.io.File(srpDir, "_SUCCESS").exists()) {
         // co-locate rows by bucket before the partitioned write: one file
         // per bucket instead of (input partitions x buckets) tiny files
@@ -277,7 +279,7 @@ object SparkEntry {
       import s.implicits._
       val qv = table(s, d, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
-      val ivfDir = s"/tmp/graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val ivfDir = s"/tmp/graft_ivf_k16i4_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       if (!new java.io.File(s"$ivfDir/table", "_SUCCESS").exists()) {
         val e = table(s, d, "embeddings")
         val model = Similarity.trainIvf(e, "embedding", "vec_id", k = 16,
