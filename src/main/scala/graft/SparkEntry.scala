@@ -492,13 +492,21 @@ object SparkEntry {
     def score(lang: String, grams: Seq[String]): String =
       grams.map(g => s"contains(t, '${g.replace("'", "''")}')::INT")
         .mkString("(", " + ", s") AS s_$lang")
-    val profiles = Map(
-      "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", " to"),
-      "de" -> Seq("er ", " de", "der", "ie ", " di", "die", "ein", "ich", "sch", "und"),
-      "fr" -> Seq(" de", "de ", " le", "es ", "le ", "ent", " la", "la ", "ion", "que"),
-      "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "que", " qu", "ión"))
-    val scores = Seq("en", "de", "fr", "es").map(l => score(l, profiles(l)))
+    // generated from TextAnalysis.langProfiles — ONE source of truth (an
+    // edit there regenerates the oracle; a hardcoded copy would silently
+    // desynchronize). The argmax CASE ladder iterates languages in
+    // DESCENDING order because ties go to the lexicographically larger
+    // language (the UDF's documented tie rule).
+    val profiles = graft.ops.TextAnalysis.langProfiles
+    val langsDesc = profiles.keys.toSeq.sorted.reverse
+    val scores = profiles.keys.toSeq.sorted.map(l => score(l, profiles(l)))
       .mkString(",\n    ")
+    val ladder = langsDesc.init.map { l =>
+      val geAll = langsDesc.filterNot(_ == l).map(o => s"s_$l >= s_$o")
+      // each branch only needs >= against languages NOT yet eliminated:
+      // simpler and equivalent to compare against all
+      s"WHEN ${geAll.mkString(" AND ")} THEN '$l'"
+    }.mkString("\n    ")
     s"""WITH sc AS (
        |  SELECT
        |    $scores,
@@ -507,10 +515,8 @@ object SparkEntry {
        |pred AS (
        |  SELECT CASE
        |    WHEN t_is_null THEN 'und'
-       |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-       |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-       |    WHEN s_en >= s_de THEN 'en'
-       |    ELSE 'de' END AS lang_pred
+       |    $ladder
+       |    ELSE '${langsDesc.last}' END AS lang_pred
        |  FROM sc)
        |SELECT lang_pred, COUNT(*) AS cnt FROM pred
        |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -15,10 +15,12 @@ final case class DetectedPhone(countryCallingCode: String, value: String,
   * the reference's phonenumbers-backed path
   * (ner_v2/detectors/pattern/phone_number/phone_number_detection.py:24-170):
   * candidate digit runs (any Unicode digits, separators allowed) are
-  * validated against per-region metadata (calling code, trunk prefix,
-  * national-number pattern), short runs (< 8 digits) are dropped, explicit
-  * +CC prefixes resolve to their own region, and candidates glued to
-  * letters are rejected (check_for_alphas, :135-145).
+  * accepted by length (>= 8 digits, the reference's POSSIBLE-leniency
+  * behavior — arbitrary long digit runs ARE detected, as in the
+  * reference); per-region metadata (calling code, trunk prefix,
+  * national-number pattern) drives trunk/+CC resolution and
+  * calling-code stripping, and candidates glued to letters are rejected
+  * (check_for_alphas, :135-145).
   *
   * Divergence (documented): the reference's check_for_country_code
   * hardcodes the IN/US prefix mix '911|1|011 91|91' for every locale
@@ -119,7 +121,12 @@ object PhoneNumbers {
   private def checkForCountryCode(num: String, region: RegionMeta,
       original: String): DetectedPhone = {
     val cc = region.countryCode.toString
-    if (num.length > 10 && num.startsWith(cc) &&
+    // a number that is ALREADY a valid national shape for the region stays
+    // as-is: CN mobiles are 1[3-9]\d{9}, and the NANP '1'-strip below would
+    // otherwise mangle most of them into US detections
+    if (region.validNational.matcher(num).matches())
+      DetectedPhone(cc, num, original.strip())
+    else if (num.length > 10 && num.startsWith(cc) &&
       region.validNational.matcher(num.substring(cc.length)).matches())
       DetectedPhone(cc, num.substring(cc.length), original.strip())
     else if (num.length == 11 && num.startsWith("1") &&

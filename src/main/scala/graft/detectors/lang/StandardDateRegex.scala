@@ -113,6 +113,10 @@ final class StandardDateRegex(
       weekdayRefMonth2, weekdayDiff, weekday)
     for (d <- detectors) {
       val found = d(processed)
+      // reference-faithful consumption (standard_date_regex.py:666):
+      // processed_text.replace(detected, '') — EMPTY string, every
+      // occurrence; surrounding tokens can glue (the reference has the
+      // same behavior; the en DateDetector uses word-bounded tags instead)
       for (f <- found) processed = processed.replace(f.original, "")
       out ++= found
     }
@@ -137,6 +141,8 @@ final class StandardDateRegex(
       val dd = intFromNumeral(g(2))
       val mm = dateConstNum(g(4))
       val todayMmdd = referenceDate.getMonthValue * 100 + referenceDate.getDayOfMonth
+      // strict <: a day+month EQUAL to the reference date resolves to next
+      // year — the reference's exact comparison (standard_date_regex.py:237)
       var yy = if (todayMmdd < mm * 100 + dd) referenceDate.getYear
         else referenceDate.getYear + 1
       // past reference prefers the most recent past occurrence

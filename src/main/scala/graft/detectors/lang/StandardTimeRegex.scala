@@ -140,7 +140,9 @@ final class StandardTimeRegex(
       val hhI = hh.toInt
       val mmI = mm.toInt
       if (nn == null) nn = meridiemOf(hhI, mmI, original)
-      // a bare minute count with no diff direction is not a time
+      // a bare minute count with no diff direction is not a time; the
+      // reference ABORTS the whole scan here, not just this match
+      // (standard_time_regex.py:272-273 `break`) — replicated for parity
       if (hhI == 0 && mmI > 0 && nn == "hrs") return out.toSeq
       out += DetectedTime(hhI, mmI, nn, original)
     }

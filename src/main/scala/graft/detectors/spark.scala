@@ -77,12 +77,20 @@ object functions {
     * deterministic at any time and parallelism). Output
     * array<struct<dd:int, mm:int, yy:int, dtype:string, original:string>>.
     */
+  // per-executor caches: detector construction compiles the large
+  // month/weekday alternation Patterns — once per (refDate, JVM), never
+  // per row
+  private val dateDetCache =
+    scala.collection.concurrent.TrieMap.empty[String, DateDetector]
+  private lazy val defaultTimeDetector = new TimeDetector()
+
   def detect_dates(referenceDate: java.time.LocalDate): Column => Column = {
     val refStr = referenceDate.toString
     val u = udf((text: String) => {
       if (text == null) Seq.empty[(Int, Int, Int, String, String)]
-      else new DateDetector(java.time.LocalDate.parse(refStr)).detect(text)
-        .map(d => (d.dd, d.mm, d.yy, d.dtype, d.original))
+      else dateDetCache.getOrElseUpdate(refStr,
+          new DateDetector(java.time.LocalDate.parse(refStr)))
+        .detect(text).map(d => (d.dd, d.mm, d.yy, d.dtype, d.original))
     })
     c => u(c)
   }
@@ -90,7 +98,8 @@ object functions {
   val detect_times: Column => Column = {
     val u = udf((text: String) =>
       if (text == null) Seq.empty[(Int, Int, String, String)]
-      else new TimeDetector().detect(text).map(t => (t.hh, t.mm, t.nn, t.original)))
+      else defaultTimeDetector.detect(text)
+        .map(t => (t.hh, t.mm, t.nn, t.original)))
     c => u(c)
   }
 

@@ -76,23 +76,36 @@ object Snapshot {
 
   private def metaDir(indexDir: String): Path = Paths.get(indexDir, "meta")
 
+  /** The one atomic `current`-pointer swap kernel — shared by the index
+    * manifest below and bare table stores (surface.TrainingStore), so
+    * crash-safety semantics live in exactly one place.
+    */
+  private[graft] def swapCurrent(dir: Path, version: Int): Unit = {
+    val tmp = dir.resolve("current.tmp")
+    Files.write(tmp, s"v$version".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a `meta/current` pointer under any store dir. */
+  private[graft] def readCurrent(metaDirPath: Path): Option[Int] = {
+    val p = metaDirPath.resolve("current")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.stripPrefix("v").toInt)
+  }
+
   /** Write vN metadata and atomically swap the `current` pointer. */
   def commit(indexDir: String, meta: SnapshotMeta): Unit = {
     val dir = metaDir(indexDir)
     Files.createDirectories(dir)
     Files.write(dir.resolve(s"v${meta.version}.json"),
       meta.toJson.getBytes(StandardCharsets.UTF_8))
-    val tmp = dir.resolve("current.tmp")
-    Files.write(tmp, s"v${meta.version}".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve("current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    swapCurrent(dir, meta.version)
   }
 
-  def currentVersion(indexDir: String): Option[Int] = {
-    val p = metaDir(indexDir).resolve("current")
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.stripPrefix("v").toInt)
-  }
+  def currentVersion(indexDir: String): Option[Int] =
+    readCurrent(metaDir(indexDir))
 
   def load(indexDir: String): Option[SnapshotMeta] = currentVersion(indexDir).map { v =>
     val p = metaDir(indexDir).resolve(s"v$v.json")

@@ -135,7 +135,9 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = le32(bytes, pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // long arithmetic: a hostile size near Int.MaxValue must fail the
+      // guard, not wrap negative and pass it
+      if (size < 0 || pos.toLong + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (le16(bytes, pos + 8) != 1) return None // PCM only

@@ -47,7 +47,10 @@ object TextAnalysis {
     * n-gram heuristic (real pipelines broadcast bigger profiles; the
     * mechanism — profile match per row, zero shuffles — is the same).
     */
-  private val langProfiles: Map[String, Seq[String]] = Map(
+  /** Exposed (not private): SparkEntry generates the DuckDB langid oracle
+    * from this same table — one source of truth, like the minhash constants.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", " to"),
     "de" -> Seq("er ", " de", "der", "ie ", " di", "die", "ein", "ich", "sch", "und"),
     "fr" -> Seq(" de", "de ", " le", "es ", "le ", "ent", " la", "la ", "ion", "que"),

@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.index.Snapshot
+
 import scala.jdk.CollectionConverters._
 
 /** The CRF training-data store — the reference's second index
@@ -22,16 +24,14 @@ import scala.jdk.CollectionConverters._
   */
 object TrainingStore {
 
-  // ---- tiny snapshot pointer (no inverted index here — parquet + pointer) ----
+  // ---- generation pointer: delegates to Snapshot's shared atomic kernel
+  // (no inverted index here — parquet tables + the same pointer-swap
+  // semantics; only the per-version marker files differ) ----
 
   private def metaDir(dir: String) = Paths.get(dir, "meta")
 
-  def currentVersion(dir: String): Option[Int] = {
-    val p = metaDir(dir).resolve("current")
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .trim.stripPrefix("v").toInt)
-  }
+  def currentVersion(dir: String): Option[Int] =
+    Snapshot.readCurrent(metaDir(dir))
 
   def listVersions(dir: String): Seq[Int] = {
     val d = metaDir(dir)
@@ -46,10 +46,7 @@ object TrainingStore {
     val d = metaDir(dir)
     Files.createDirectories(d)
     Files.write(d.resolve(s"v$version.marker"), Array.emptyByteArray)
-    val tmp = d.resolve("current.tmp")
-    Files.write(tmp, s"v$version".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, d.resolve("current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Snapshot.swapCurrent(d, version)
   }
 
   /** Commit training rows

@@ -63,6 +63,17 @@ class PhoneSpec extends AnyFunSuite {
       Seq(("91", "2226129857", "०२२ २६१२९८५७")))
   }
 
+  test("CN mobiles keep their region (no NANP '1'-strip mangling)") {
+    // a CN mobile whose tail happens to look NANP-valid must stay Chinese
+    assert(det("打给 13912345678 谢谢", "zh-CN") ==
+      Seq(("86", "13912345678", "13912345678")))
+    assert(det("call +8613912345678 now", "zh-CN") ==
+      Seq(("86", "13912345678", "+8613912345678")))
+    // cc-prefixed form still strips to the national number
+    assert(det("call 8613912345678", "zh-CN") ==
+      Seq(("86", "13912345678", "8613912345678")))
+  }
+
   test("chinese digit words map digit-by-digit (F17)") {
     val out = ChinesePhone.detect("请拨打一三八零零一三八零零零", "zh-CN")
     assert(out == Seq(DetectedPhone("86", "13800138000", "一三八零零一三八零零零")))
