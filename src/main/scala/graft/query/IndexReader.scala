@@ -230,24 +230,30 @@ object IndexReader {
         .agg(sum("numShards"), sum("postingBytes")).collect()(0)
       val nShards = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
       val pBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
-      val small = nShards <= cfg.maxDriverVocab && pBytes <= cfg.maxDriverPostingBytes
+      // the dict is |vocab|-sized and independent of posting bytes: load it
+      // driver-side whenever the vocabulary fits — in-memory resolution
+      // (incl. fuzzy expansion) even when the postings must stay
+      // distributed; postings additionally need the byte budget
+      val dictSmall = nShards <= cfg.maxDriverVocab
+      val segSmall = dictSmall && pBytes <= cfg.maxDriverPostingBytes
 
-      val (dictMap, segMap) =
-        if (!small) (None, None)
-        else {
-          val dm = spark.read.schema(graft.index.IndexSchemas.dict).parquet(meta.dictDir(indexDir))
+      val dictMap =
+        if (!dictSmall) None
+        else Some(
+          spark.read.schema(graft.index.IndexSchemas.dict).parquet(meta.dictDir(indexDir))
             .select("term", "df", "maxTf", "numSalts")
             .as[(String, Long, Int, Int)].collect()
-            .map(r => r._1 -> Searcher.TermStats(r._1, r._2, r._3, r._4)).toMap
-          val sm = graft.index.IndexSchemas
+            .map(r => r._1 -> Searcher.TermStats(r._1, r._2, r._3, r._4)).toMap)
+      val segMap =
+        if (!segSmall) None
+        else Some(
+          graft.index.IndexSchemas
             .readSegments(spark, meta.segmentsDirs(indexDir))
             .select("term", "salt", "numSalts", "maxTf", "postings")
             .as[(String, Int, Int, Int, Array[Byte])].collect()
             .groupBy(r => (r._1, r._2))
             .view.mapValues(_.map(r => SegShard(r._3, r._4, r._5)).toSeq)
-            .toMap
-          (Some(dm), Some(sm))
-        }
+            .toMap)
       new IndexReader(spark, indexDir, meta, cfg, dictMap, segMap)
     })
   }

@@ -163,6 +163,17 @@ class EngineSpec extends SparkTestBase {
     val q0 = querySet.head
     assert(tinyReader.searchHits(tinyReader.resolve(q0), 20).toSeq ==
       cachedReader.searchHits(cachedReader.resolve(q0), 20).toSeq)
+    // dict-fits-postings-don't: in-memory resolution (incl. fuzzy) over
+    // distributed postings — still bit-identical
+    val midReader = IndexReader.open(spark, indexDir,
+      IndexReader.ReaderConfig(maxDriverVocab = 2000000L,
+        maxDriverPostingBytes = 0, maxQueryShardCacheBytes = 64L << 20))
+    for (q <- querySet.take(4)) {
+      assert(midReader.searchHits(midReader.resolve(q), 20).toSeq ==
+        cachedReader.searchHits(cachedReader.resolve(q), 20).toSeq)
+    }
+    assert(midReader.resolve("improt snapshto", fuzzy = true).terms.toSet ==
+      cachedReader.resolve("improt snapshto", fuzzy = true).terms.toSet)
     // fuzzy expansion too (Spark-job path vs in-memory scan)
     val fq = "improt snapshto"
     val dRq = distReader.resolve(fq, fuzzy = true)
