@@ -25,6 +25,14 @@ final case class Token(term: String, start: Int, end: Int)
   * below implements the regex semantics literally (boundary check against
   * the previous char) rather than the simplification, so behavior stays
   * tied to the spec.
+  *
+  * Documented divergence: word chars include non-spacing/combining marks
+  * and connector punctuation (UAX#29, what ES's standard analyzer — the
+  * reference's actual SEARCH analyzer — does), while Python's \w excludes
+  * them and would split e.g. Devanagari words at their matras
+  * (re.findall(r'\w+', 'मुंबई') == ['म', 'बई']). Keeping marks is required
+  * for the Hindi dictionary path to work at all; index and query share
+  * this tokenizer, so the engine is internally consistent.
   */
 object Tokenizer {
 

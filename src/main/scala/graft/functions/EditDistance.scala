@@ -26,25 +26,39 @@ object EditDistance {
     if (math.abs(n - m) > maxDist) return maxDist + 1
     if (n == 0) return m
     if (m == 0) return n
+    // banded evaluation: any cell with |i - j| > maxDist is provably
+    // > maxDist, so each row computes only the 2*maxDist+1 diagonal band —
+    // O(maxDist * min(n, m)) for the vocabulary-scan hot path. BIG acts as
+    // +infinity without overflow.
+    val BIG = maxDist + 1
     var prev2: Array[Int] = null
-    var prev = Array.tabulate(m + 1)(identity)
+    var prev = Array.tabulate(m + 1)(j => if (j <= maxDist) j else BIG)
     var cur = new Array[Int](m + 1)
     var i = 1
     while (i <= n) {
-      cur(0) = i
+      val jLo = math.max(1, i - maxDist)
+      val jHi = math.min(m, i + maxDist)
+      cur(0) = if (i <= maxDist) i else BIG
+      if (jLo > 1) cur(jLo - 1) = BIG // left band edge
       var rowMin = cur(0)
-      var j = 1
-      while (j <= m) {
+      var j = jLo
+      while (j <= jHi) {
         val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
-        var v = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + cost)
+        val up = if (prev(j) >= BIG) BIG else prev(j) + 1
+        val left = if (cur(j - 1) >= BIG) BIG else cur(j - 1) + 1
+        val diag = if (prev(j - 1) >= BIG) BIG else prev(j - 1) + cost
+        var v = math.min(math.min(up, left), diag)
         if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2)
           && a.charAt(i - 2) == b.charAt(j - 1)) {
-          v = math.min(v, prev2(j - 2) + 1)
+          val tr = if (prev2(j - 2) >= BIG) BIG else prev2(j - 2) + 1
+          v = math.min(v, tr)
         }
+        if (v > BIG) v = BIG
         cur(j) = v
         if (v < rowMin) rowMin = v
         j += 1
       }
+      if (jHi < m) cur(jHi + 1) = BIG // right band edge
       if (rowMin > maxDist) return maxDist + 1
       val tmp = prev2
       prev2 = prev
@@ -52,7 +66,7 @@ object EditDistance {
       cur = if (tmp == null) new Array[Int](m + 1) else tmp
       i += 1
     }
-    prev(m)
+    if (prev(m) > maxDist) maxDist + 1 else prev(m)
   }
 
   /** Weighted Levenshtein (reference lib/nlp/text_normalization.py:18-64):

@@ -22,9 +22,12 @@ import graft.functions.EditDistance
   */
 object Alignment {
 
-  /** Edit budget for a token (auto:lo,hi — default auto:4,7). */
+  /** Edit budget for a token (auto:lo,hi — default auto:4,7): the ONE
+    * rule, shared with query-side fuzzy expansion so alignment and
+    * expansion can never disagree on fuzzy eligibility.
+    */
   def fuzzinessThreshold(tokenLen: Int, lo: Int = 4, hi: Int = 7): Int =
-    if (tokenLen < lo) 0 else if (tokenLen >= hi) 2 else 1
+    EditDistance.autoFuzzyEdits(tokenLen, lo, hi)
 
   /** Find the substring of `text` (lowercased by caller) matching `variant`
     * by sliding fuzzy token alignment. Returns None if no alignment.
@@ -71,6 +74,6 @@ object Alignment {
     val stripped = stripBoundaryPunct(originalText)
     if (stripped.isEmpty) text
     else text.replaceAll("\\b" + java.util.regex.Pattern.quote(stripped) + "\\b",
-      s"__${entity}__")
+      java.util.regex.Matcher.quoteReplacement(s"__${entity}__"))
   }
 }

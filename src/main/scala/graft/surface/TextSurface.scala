@@ -116,12 +116,19 @@ object TextSurface {
         val v = h.variant.toLowerCase(java.util.Locale.ROOT)
         if (!vToV.contains(v)) vToV(v) = h.value
       }
-      // R3: exact before fuzzy, token count desc within each (stable sort)
+      // R3: exact before fuzzy, token count desc within each (stable sort).
+      // The exact check runs against the CANONICAL tokenize-and-rejoin form
+      // (reference text_detection.py:153-164): "new,york" must still
+      // classify the variant "new york" as exact. Span recovery stays on
+      // the raw text (the reference's offset-mapping keeps dropped chars
+      // like '&' in originals). Each variant tokenizes exactly once.
+      val canonical = Tokenizer.tokenizeTerms(processedText).mkString(" ")
       val variants = vToV.keys.toSeq
-      val (exactM, fuzzyM) = variants.partition(v =>
-        processedText.contains(Tokenizer.tokenizeTerms(v).mkString(" ")))
-      val ordered = exactM.sortBy(v => -Tokenizer.tokenizeTerms(v).length) ++
-        fuzzyM.sortBy(v => -Tokenizer.tokenizeTerms(v).length)
+        .map(v => (v, Tokenizer.tokenizeTerms(v)))
+      val (exactM, fuzzyM) = variants.partition { case (_, toks) =>
+        canonical.contains(toks.mkString(" ")) }
+      val ordered = (exactM.sortBy(-_._2.length) ++ fuzzyM.sortBy(-_._2.length))
+        .map(_._1)
       var remaining = processedText
       val out = Seq.newBuilder[Detection]
       for (variant <- ordered) {

@@ -65,3 +65,42 @@ class AsrNameSpec extends AnyFunSuite {
     assert(PersonName.detect("here are some words today", bot).isEmpty)
   }
 }
+
+/** Banded OSA equivalence: the band must compute the same distances as the
+  * unbanded DP wherever the true distance is within budget.
+  */
+class OsaBandSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.functions.EditDistance
+
+  private def reference(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      var v = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + cost)
+      if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+        v = math.min(v, d(i - 2)(j - 2) + 1)
+      d(i)(j) = v
+    }
+    d(a.length)(b.length)
+  }
+
+  test("property: banded osa == full DP capped at maxDist+1") {
+    val rnd = new scala.util.Random(5)
+    val alphabet = "abcd" // small alphabet → many near-misses + transposes
+    def word(): String =
+      (0 until 1 + rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(4))).mkString
+    for (_ <- 1 to 3000; maxDist <- 1 to 3) {
+      val a = word(); val b = word()
+      val expected = math.min(reference(a, b), maxDist + 1)
+      val got = EditDistance.osa(a, b, maxDist)
+      assert(got == expected, s"a=$a b=$b maxDist=$maxDist")
+    }
+    // known transposition and edge cases
+    assert(EditDistance.osa("improt", "import", 2) == 1)
+    assert(EditDistance.osa("abc", "abc", 1) == 0)
+    assert(EditDistance.osa("abc", "xyz", 2) == 3)
+  }
+}

@@ -203,6 +203,25 @@ class SurfaceSpec extends SparkTestBase {
       .filter(col("entity_data") === "restaurant").count() == 3)
   }
 
+  test("punctuation between tokens still classifies multi-word variants exact") {
+    // canonical tokenize-rejoin (reference text_detection.py:153-164):
+    // 'new,delhi' must classify the 2-token variant exact so it wins R3
+    // priority over the 1-token 'delhi'
+    val d = TextSurface.detect(spark, storeDir, "moving to new,delhi soon",
+      Seq("city"))
+    assert(d("city").map(_.value) == Seq("New Delhi"))
+  }
+
+  test("entity names with regex-special chars do not break consumption") {
+    val dir = tmpDir("graft-store-dollar")
+    val dict = Seq(("price_$1", "Cheap", Seq("cheap", "budget"), "en"))
+      .toDF("entity_data", "value", "variants", "language_script")
+    EntityStore.commitDictionary(spark, dir, dict)
+    val d = TextSurface.detect(spark, dir, "cheap and budget options",
+      Seq("price_$1"))
+    assert(d("price_$1").map(_.value) == Seq("Cheap", "Cheap"))
+  }
+
   test("alignment unit behavior matches reference doc examples") {
     assert(Alignment.entitySubstring(
       "come to chennai, tamil nadu, i will visit delehi next year", "chennai")
