@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// CRITICAL for the driver's bench parser: by default sbt pipes a forked
+// process's stdout through its logger, prefixing every line with "[info] "
+// — which made Bench's JSON line unparseable (BENCH_r01/r02 parsed:null).
+// StdoutOutput hands the child the real stdout/stderr: JSON lines reach
+// stdout clean; Spark's log4j noise stays on stderr.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,26 +6,27 @@ import graft.corpus.CodeCorpus
 import graft.index.{IndexBuilder, IndexConfig}
 import graft.query.Searcher
 
-/** Benchmark driver. Prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "index_build":{...},"query_latency_ms":{...},"query_status":{...}}
+/** Benchmark driver. Prints a JSON line per completed milestone (same
+  * schema every time, monotonically more complete, `"partial":true` until
+  * the final line) so that a killed/timed-out run still leaves parseable
+  * evidence on stdout — the LAST parseable line is the freshest state.
   *
-  * Three phases:
+  * Wall-clock budget: `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 2250 s,
+  * measured from JVM start). The mandatory work — ONE build-trial pair
+  * (local[8] then local[2], same stored corpus), the query-latency probe,
+  * and the driver-contract queries — always runs; extra interleaved trial
+  * pairs (up to SPARK_GRAFT_BENCH_TRIALS total, default 3) run only while
+  * the remaining budget comfortably covers another pair. Contention only
+  * adds wall time, so each parallelism point reports the MIN across its
+  * trials; per-trial start loadavg and per-stage splits make a degraded
+  * run diagnosable from the JSON alone.
+  *
+  * Phases:
   *  1. scaling: the SAME deterministic stored corpus index-built at
   *     local[2] and local[8] (sandbox proxy for N vs 4N executors —
-  *     BENCH/BASELINE.md; the shared host's noisy neighbor makes 32 threads
-  *     measure contention, not scaling); reports docs/sec at both and
-  *     scaling efficiency (thr_4N/thr_N)/4.
-  *
-  *     Contention robustness (the host is shared — load average ~8-12 at
-  *     "idle", with spikes): each parallelism point is measured as the MIN
-  *     of 3 trials, interleaved (8,2,8,2,8,2) so a load spike cannot bias
-  *     one point only. Contention strictly adds wall time, so min is the
-  *     unbiased estimator of the engine's own cost. Before each trial a
-  *     load probe waits (bounded) for a quiet window; the observed loadavg
-  *     is recorded per trial, and per-stage build timings are emitted for
-  *     the chosen (min) trials, so a degraded run is diagnosable from the
-  *     JSON alone.
+  *     BENCH/BASELINE.md; the shared host's noisy neighbor makes 32
+  *     threads measure contention, not scaling); reports docs/sec at both
+  *     and scaling efficiency (thr_4N/thr_N)/4.
   *  2. query latency: the reference query set against the built index,
   *     repeated; reports p50/p95 per the BASELINE.json metric.
   *  3. driver-contract queries over SPARK_GRAFT_SF_DIR. Failures are NOT
@@ -93,11 +94,88 @@ object Bench {
   final case class Trial(sec: Double, load: Double,
       stages: Map[String, Double])
 
+  // ---- mutable snapshot state: everything emitJson needs, updated as
+  // ---- milestones complete; a timeout between emissions loses only the
+  // ---- in-flight milestone
+  private val t0Wall = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - t0Wall) / 1e9
+  private var budgetSec: Double = 2250.0
+  private var sfDir = ""
+  private var scaleDocs = 0L
+  private val t8s = scala.collection.mutable.ArrayBuffer.empty[Trial]
+  private val t2s = scala.collection.mutable.ArrayBuffer.empty[Trial]
+  private var latency: Option[(Double, Double, Double)] = None // p50,p95,qps
+  private var contract: Seq[(String, Double, String)] = Seq.empty
+  private val phasesDone = scala.collection.mutable.ArrayBuffer.empty[String]
+  @volatile private var lastJson: String = ""
+  @volatile private var finalEmitted = false
+
+  private def stagesJson(t: Trial): String =
+    t.stages.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + n(v) }.mkString("{", ",", "}")
+
+  private def trialsJson(ts: Seq[Trial]): String =
+    ts.map(t => s"""{"sec":${n(t.sec)},"load_at_start":${n(t.load)}}""")
+      .mkString("[", ",", "]")
+
+  /** Serialize the full schema from whatever has completed so far and print
+    * it as one clean line on stdout. Called after every milestone; the last
+    * line a reader sees is always a valid, maximally-complete record.
+    */
+  private def emitJson(partial: Boolean): Unit = synchronized {
+    if (finalEmitted) return
+    if (!partial) finalEmitted = true
+    val qs = contract.map { case (k, v, _) => jstr(k) + ":" + n(v) }
+      .mkString("{", ",", "}")
+    val qStatus = contract.map { case (k, _, st) => jstr(k) + ":" + jstr(st) }
+      .mkString("{", ",", "}")
+    val ib =
+      if (t8s.isEmpty || t2s.isEmpty) "null"
+      else {
+        val best8 = t8s.minBy(_.sec)
+        val best2 = t2s.minBy(_.sec)
+        val thr8 = scaleDocs / best8.sec
+        val thr2 = scaleDocs / best2.sec
+        val eff = (thr8 / thr2) / 4.0
+        s"""{"docs":$scaleDocs,"n_cores":2,"fourn_cores":8,""" +
+          s""""n_sec":${n(best2.sec)},"fourn_sec":${n(best8.sec)},""" +
+          s""""n_docs_per_sec":${n(thr2)},"fourn_docs_per_sec":${n(thr8)},""" +
+          s""""scaling_efficiency":${n(eff)},""" +
+          s""""trials_n":${t2s.length},"trials_fourn":${t8s.length},""" +
+          s""""estimator":"min-of-trials (contention only adds time)",""" +
+          s""""n_trials":${trialsJson(t2s.toSeq)},"fourn_trials":${trialsJson(t8s.toSeq)},""" +
+          s""""n_stage_sec":${stagesJson(best2)},"fourn_stage_sec":${stagesJson(best8)}}"""
+      }
+    val lat = latency match {
+      case Some((p50, p95, qps)) =>
+        s"""{"p50":${n(p50)},"p95":${n(p95)},"qps":${n(qps)}}"""
+      case None => "null"
+    }
+    val total = contract.map(_._2).sum + t8s.map(_.sec).sum + t2s.map(_.sec).sum
+    val line =
+      s"""{"metric":"total","value":${n(total)},"unit":"sec","queries":$qs,""" +
+        s""""sf":${jstr(sfDir)},"index_build":$ib,""" +
+        s""""query_latency_ms":$lat,"query_status":$qStatus,""" +
+        s""""partial":$partial,"phases_done":${phasesDone.map(jstr).mkString("[", ",", "]")},""" +
+        s""""budget_sec":${n(budgetSec)},"elapsed_sec":${n(elapsedSec)}}"""
+    lastJson = line
+    println(line)
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong
+    scaleDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong
     val trialsPerPoint = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2250").toDouble
+
+    // a SIGTERM (e.g. an external `timeout`) still flushes the freshest
+    // snapshot: shutdown hooks run on TERM, and re-printing the last line
+    // is harmless (readers take the last parseable line)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (lastJson.nonEmpty) { println(lastJson); System.out.flush() }
+    }))
 
     val queriesForLatency = Seq(
       "import spark", "def merge", "posting merge segment",
@@ -116,13 +194,17 @@ object Bench {
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
       }
     }
+    phasesDone += "corpus"
     val cfg = IndexConfig(numBuckets = 64, saltThreshold = scaleDocs / 8,
       maxSalts = 16)
     def buildTrial(cores: Int, dir: String): Trial = {
       rmrf(new java.io.File(dir))
       // quiet-window probe: need ~`cores` free of 32; neighbor idles at
-      // ~8-12 busy, so target 20 leaves 12 free. Bounded wait: 90 s.
-      val load = waitForQuiet(target = 20.0, maxWaitSec = 90)
+      // ~8-12 busy, so target 20 leaves 12 free. Wait is bounded both by
+      // 90 s and by 5% of the remaining budget — never trade evidence
+      // time for quietness.
+      val maxWait = math.max(0.0, math.min(90.0, (budgetSec - elapsedSec) * 0.05))
+      val load = waitForQuiet(target = 20.0, maxWaitSec = maxWait.toInt)
       val stages = scala.collection.mutable.Map.empty[String, Double]
       val sec = withSession(cores) { spark =>
         val corpus = spark.read.parquet(corpusPath)
@@ -145,21 +227,18 @@ object Bench {
           cfg.copy(saltThreshold = 4000L))
       }
     }
-    // interleaved trials: a load spike hits both points, not just one
-    val t8s = scala.collection.mutable.ArrayBuffer.empty[Trial]
-    val t2s = scala.collection.mutable.ArrayBuffer.empty[Trial]
-    for (_ <- 1 to trialsPerPoint) {
-      t8s += buildTrial(8, "/tmp/graft_bench_idx8")
-      t2s += buildTrial(2, "/tmp/graft_bench_idx2")
-    }
-    val best8 = t8s.minBy(_.sec)
-    val best2 = t2s.minBy(_.sec)
-    val thr8 = scaleDocs / best8.sec
-    val thr2 = scaleDocs / best2.sec
-    val eff = (thr8 / thr2) / 4.0
+    phasesDone += "warmup"
+    // mandatory pair first: after this, scaling evidence exists and is
+    // emitted no matter what the rest of the run does
+    var pairStart = elapsedSec
+    t8s += buildTrial(8, "/tmp/graft_bench_idx8")
+    t2s += buildTrial(2, "/tmp/graft_bench_idx2")
+    var lastPairSec = elapsedSec - pairStart
+    phasesDone += "scaling_pair_1"
+    emitJson(partial = true)
 
     // ---- phase 2: query latency over the built index ----
-    val (p50, p95, qps) = withSession(8) { spark =>
+    latency = Some(withSession(8) { spark =>
       val dir = "/tmp/graft_bench_idx8"
       // warm-up pass (JIT + page cache), then 3 measured repetitions
       queriesForLatency.foreach(q =>
@@ -174,11 +253,13 @@ object Bench {
       val total = lat.sum / 1000.0
       (lat(lat.length / 2), lat(math.min(lat.length - 1, (lat.length * 95) / 100)),
         lat.length / total)
-    }
+    })
+    phasesDone += "latency"
+    emitJson(partial = true)
 
     // ---- phase 3: driver-contract queries on sfDir ----
     // failures are recorded, never swallowed as fast successes
-    val results = withSession(cpus) { spark =>
+    contract = withSession(cpus) { spark =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val status =
@@ -191,29 +272,24 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, status)
       }
     }
+    phasesDone += "contract"
+    emitJson(partial = true)
 
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + n(v) }
-      .mkString("{", ",", "}")
-    val qStatus = results.map { case (k, _, st) => jstr(k) + ":" + jstr(st) }
-      .mkString("{", ",", "}")
-    def stagesJson(t: Trial): String =
-      t.stages.toSeq.sortBy(_._1)
-        .map { case (k, v) => jstr(k) + ":" + n(v) }.mkString("{", ",", "}")
-    def trialsJson(ts: Seq[Trial]): String =
-      ts.map(t => s"""{"sec":${n(t.sec)},"load_at_start":${n(t.load)}}""")
-        .mkString("[", ",", "]")
-    val total = results.map(_._2).sum + t8s.map(_.sec).sum + t2s.map(_.sec).sum
-    println(
-      s"""{"metric":"total","value":${n(total)},"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","index_build":{"docs":$scaleDocs,""" +
-        s""""n_cores":2,"fourn_cores":8,""" +
-        s""""n_sec":${n(best2.sec)},"fourn_sec":${n(best8.sec)},""" +
-        s""""n_docs_per_sec":${n(thr2)},"fourn_docs_per_sec":${n(thr8)},""" +
-        s""""scaling_efficiency":${n(eff)},""" +
-        s""""trials":$trialsPerPoint,"estimator":"min-of-trials (contention only adds time)",""" +
-        s""""n_trials":${trialsJson(t2s.toSeq)},"fourn_trials":${trialsJson(t8s.toSeq)},""" +
-        s""""n_stage_sec":${stagesJson(best2)},"fourn_stage_sec":${stagesJson(best8)}},""" +
-        s""""query_latency_ms":{"p50":${n(p50)},"p95":${n(p95)},"qps":${n(qps)}},""" +
-        s""""query_status":$qStatus}""")
+    // ---- extra scaling trials, budget-adaptive ----
+    // interleaved (8,2) pairs: a load spike hits both points, not just one;
+    // each pair needs headroom of 1.3x the last observed pair cost
+    var pairs = 1
+    while (pairs < trialsPerPoint &&
+        elapsedSec + 1.3 * lastPairSec < budgetSec) {
+      pairStart = elapsedSec
+      t8s += buildTrial(8, "/tmp/graft_bench_idx8")
+      t2s += buildTrial(2, "/tmp/graft_bench_idx2")
+      lastPairSec = elapsedSec - pairStart
+      pairs += 1
+      phasesDone += s"scaling_pair_$pairs"
+      emitJson(partial = true)
+    }
+
+    emitJson(partial = false)
   }
 }
