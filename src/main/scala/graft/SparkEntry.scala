@@ -364,7 +364,7 @@ object SparkEntry {
     }),
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simHashPairs(table(s, d, "documents"), "text", "doc_id",
-          maxHamming = 8)
+          maxHamming = 8, maxBucketSize = 64)
         .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("hamming"), col("idA"), col("idB"))
         .limit(50)
@@ -447,9 +447,11 @@ object SparkEntry {
   }
 
   /** DuckDB SQL replaying q_simhash_pairs: per-token md5-lower-64, 64-bit
-    * majority vote, 4x16-bit chunk blocking, exact Hamming verify.
+    * majority vote, 4x16-bit chunk blocking with the same bucket-width cap
+    * as the Spark side, exact Hamming verify.
     */
-  private def simhashOracle(maxHamming: Int, limit: Int): String = {
+  private def simhashOracle(maxHamming: Int, limit: Int,
+      maxBucketSize: Int): String = {
     val votes = (0 until 64).map(b =>
       s"SUM(CASE WHEN (h >> $b) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS v$b")
       .mkString(",\n    ")
@@ -473,13 +475,18 @@ object SparkEntry {
        |  FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id),
        |chunks AS (
        |  SELECT doc_id, simhash, c.chunk,
-       |    (simhash >> (c.chunk * 16)) & 65535::UBIGINT AS key
+       |    (simhash >> (c.chunk * 16)) & 65535::UBIGINT AS ckey
        |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, simhash, chunk, ckey,
+       |      COUNT(*) OVER (PARTITION BY chunk, ckey) AS bsz
+       |    FROM chunks) t WHERE bsz <= $maxBucketSize),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB,
        |    bit_count(xor(a.simhash, b.simhash)) AS hd
-       |  FROM chunks a JOIN chunks b
-       |    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+       |  FROM capped a JOIN capped b
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
        |SELECT idA, idB, CAST(hd AS INT) AS hamming FROM pairs
        |WHERE hd <= $maxHamming
        |ORDER BY hd, idA, idB LIMIT $limit""".stripMargin
@@ -630,7 +637,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_minhash_pairs" -> minhashOracle(shingleSize = 2, numHashes = 64,
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64, limit = 50),
-    "q_simhash_pairs" -> simhashOracle(maxHamming = 8, limit = 50),
+    "q_simhash_pairs" -> simhashOracle(maxHamming = 8, limit = 50,
+      maxBucketSize = 64),
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (

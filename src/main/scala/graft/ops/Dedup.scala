@@ -19,15 +19,30 @@ import graft.functions.CrossHash
   */
 object Dedup {
 
-  /** Exact dedup by content hash: one shuffle on a 16-byte key. Returns the
-    * input plus (content_hash, is_canonical). 100 TB path: groupBy on the
-    * hash, not the content — the exchange carries ids + hashes only.
+  /** Exact dedup by content hash: one shuffle keyed on the 16-byte hash.
+    * Returns the input plus (content_hash, is_canonical). Annotating rows
+    * in place inherently moves the full rows (text included) through the
+    * exchange — that is the cost of the is_canonical column. Pipelines
+    * that only need the survivor set should use [[exactCanonicalIds]],
+    * whose exchange carries (hash, id) pairs only.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("content_hash"))
     df.withColumn("content_hash", md5(col(textCol)))
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
+
+  /** Ids-only exact dedup: one (content_hash, min id) row per distinct
+    * content. The shuffle carries 16-byte hashes + ids — the 100 TB shape
+    * when the caller keeps the corpus where it is and joins survivors back
+    * (or semi-joins) instead of annotating every row.
+    */
+  def exactCanonicalIds(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_duplicates"))
 
   /** Word shingles (n-gram strings) of the nonempty whitespace tokens — the
     * input to MinHash / Jaccard. Pure column expression (codegen'd, no UDF).
@@ -214,9 +229,15 @@ object Dedup {
     * Hamming distance <= 3 must agree on at least one chunk — pigeonhole;
     * larger maxHamming keeps the same blocking and is best-effort beyond 3),
     * verify with exact Hamming. Standard scalable SimHash dedup layout.
+    *
+    * Buckets wider than `maxBucketSize` are skipped before the self-join —
+    * the same guard minHashLsh applies: degenerate chunk keys (e.g. every
+    * near-empty doc simhashes to 0, so all four of its chunk keys collide)
+    * would otherwise self-join quadratically at scale. Pairs inside a
+    * skipped bucket can still surface via one of their three other chunks.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
     val withSim = simHash(df, textCol, idCol)
       .select(col(idCol).as("_id"), col("simhash"))
     val chunked = withSim.select(col("_id"), col("simhash"),
@@ -225,9 +246,13 @@ object Dedup {
           shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
       }: _*)).as("ck"))
       .select(col("_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-    val a = chunked.select(col("chunk"), col("key"),
+    val wB = Window.partitionBy("chunk", "key")
+    val capped = chunked.withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val a = capped.select(col("chunk"), col("key"),
       col("_id").as("idA"), col("simhash").as("simA"))
-    val b = chunked.select(col("chunk"), col("key"),
+    val b = capped.select(col("chunk"), col("key"),
       col("_id").as("idB"), col("simhash").as("simB"))
     a.join(b, Seq("chunk", "key"))
       .filter(col("idA") < col("idB"))

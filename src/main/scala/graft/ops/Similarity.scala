@@ -188,14 +188,33 @@ object Similarity {
     * RNG — and each update sums QUANTIZED coordinates (round(x * 2^20) as
     * long) so the aggregation is exact integer math in any order; float
     * averaging would drift with partitioning and flip assignments.
+    *
+    * Training is bounded: the iterations run over the `trainSample` vectors
+    * with the smallest xxhash64(id) (the init sampler generalized — still a
+    * pure function of ids, so parallelism-invariant), materialized ONCE.
+    * A coarse quantizer needs a representative sample, not the corpus; at
+    * 100 TB the per-iteration dim x N shuffle over the full table would
+    * dominate the whole pipeline. `trainSample <= 0` disables the bound.
     */
   def trainIvf(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      iters: Int = 8, seed: Long = 42L): IvfModel = {
+      iters: Int = 8, seed: Long = 42L,
+      trainSample: Long = 200000L): IvfModel = {
     val spark = df.sparkSession
     import spark.implicits._
-    val init: Array[Array[Float]] = df
+    val keyed = df
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("h", xxhash64(col("_id"), lit(seed)))
+    // TakeOrdered top-n (no full sort), re-spread so the iteration scans
+    // parallelize, then materialized so each iteration reads the sample —
+    // not the corpus — and the lineage doesn't re-run the top-n per pass
+    val train =
+      (if (trainSample > 0)
+        keyed.orderBy("h", "_id").limit(trainSample.toInt)
+          .repartition(spark.sparkContext.defaultParallelism)
+      else keyed)
+        .localCheckpoint(true)
+    val init: Array[Array[Float]] = train
       .orderBy("h", "_id")
       .limit(k)
       .select("v").as[Seq[Float]].collect().map(_.toArray)
@@ -206,8 +225,7 @@ object Similarity {
       val assignU = udf((v: Seq[Float]) =>
         if (v == null) -1 else bc.value.assign(v.toArray))
       val qv = transform(col("v"), x => round(x.cast("double") * Scale).cast("long"))
-      val sums = df.select(col(vecCol).as("v"))
-        .filter(col("v").isNotNull)
+      val sums = train
         .select(assignU(col("v")).as("c"), qv.as("q"))
         .select(col("c"), posexplode(col("q")).as(Seq("pos", "x")))
         .groupBy("c", "pos")

@@ -67,6 +67,26 @@ class OpsSpec extends SparkTestBase {
     assert(uncapped.count() == 30L * 29 / 2)
   }
 
+  test("exactCanonicalIds: (hash, min id, count) only — no row annotation") {
+    val out = Dedup.exactCanonicalIds(docs, "text", "doc_id")
+      .select("canonical_id", "n_duplicates").as[(Long, Long)].collect().toSet
+    // doc 0 and 2 share content: survivor 0 with 2 members; others singletons
+    assert(out == Set((0L, 2L), (1L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("simhash bucket-width cap prunes degenerate buckets") {
+    // 30 identical docs: one simhash, all 4 chunk buckets width 30 > cap 8
+    // → no pairs; with a wide cap every pair survives at hamming 0
+    val dups = (0L until 30L).map(i => (i, "same same same text here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simHashPairs(dups, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 8)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simHashPairs(dups, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 64)
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+
   test("simhash: identical docs same hash, near-dups close, distinct far") {
     val sims = Dedup.simHash(docs, "text", "doc_id")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
@@ -127,6 +147,32 @@ class OpsSpec extends SparkTestBase {
     val brute = Similarity.bruteKnn(data, "embedding", "vec_id", q, 10)
       .select("vec_id").as[Long].collect().toSet
     val ivf = Similarity.ivfKnn(clustered, "embedding", "vec_id", model, q,
+      10, nprobe = 3).select("vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(brute).size >= 6,
+      s"recall too low: ${ivf.intersect(brute).size}/10 (scanned $scanned/400)")
+  }
+
+  test("ivf training on a bounded sample stays deterministic and useful") {
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val data = (0L until 400L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    // sample (100 of 400) is a pure function of ids: repartitioning the
+    // input must not move a single centroid bit
+    val m1 = Similarity.trainIvf(data, "embedding", "vec_id", k = 8,
+      iters = 5, trainSample = 100L)
+    val m2 = Similarity.trainIvf(data.repartition(7), "embedding", "vec_id",
+      k = 8, iters = 5, trainSample = 100L)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    // a quantizer trained on 1/4 of the data still prunes and recalls
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val clustered = Similarity.withIvfCluster(data, "embedding", m1)
+    val scanned = clustered
+      .filter(col("ivf_cluster").isin(m1.probes(q, 3): _*)).count()
+    assert(scanned < 400, "probing must prune")
+    val brute = Similarity.bruteKnn(data, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfKnn(clustered, "embedding", "vec_id", m1, q,
       10, nprobe = 3).select("vec_id").as[Long].collect().toSet
     assert(ivf.intersect(brute).size >= 6,
       s"recall too low: ${ivf.intersect(brute).size}/10 (scanned $scanned/400)")
