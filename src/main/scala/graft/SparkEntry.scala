@@ -529,6 +529,45 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** DuckDB SQL replaying q_lsh_ann end-to-end: the SRP hyperplanes are
+    * pure functions of (seed, bit, i), so they are embedded as exact
+    * round-trip double literals (Double.toString → CAST(... AS DOUBLE) is
+    * value-preserving); every dot product is an explicit-order left fold
+    * (list_reduce) matching the engine's array-order double summation, so
+    * buckets, cosine scores and the final ordering are bit-identical.
+    * Probe membership (query bucket + all 1-bit flips) is expressed as
+    * hamming(bucket, query_bucket) <= 1 — the same set. `dim` must match
+    * the stored embedding length (64 at every test sf).
+    */
+  private def lshOracle(dim: Int, nBits: Int, seed: Long, k: Int): String = {
+    val model = graft.ops.Similarity.SrpModel(dim, nBits, seed)
+    def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
+    def fold(term: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $term), (a, b) -> a + b)"
+    val bucketExpr = (0 until nBits).map { b =>
+      val coefs = model.hyperplanes(b).map(dl).mkString("[", ", ", "]")
+      val proj = fold(s"CAST(embedding[i] AS DOUBLE) * ($coefs)[i]")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val dotQ = fold("CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)")
+    val nrm2C = fold("CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)")
+    val nrm2Q = fold("CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)")
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |cand AS (
+       |  SELECT b.vec_id, b.embedding
+       |  FROM bk b, (SELECT bucket AS qb FROM bk WHERE vec_id = 0) qq
+       |  WHERE bit_count(xor(b.bucket, qq.qb)) <= 1),
+       |scored AS (
+       |  SELECT c.vec_id,
+       |    $dotQ AS dot,
+       |    sqrt($nrm2C) * sqrt($nrm2Q) AS nn
+       |  FROM cand c, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q)
+       |SELECT vec_id,
+       |  CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END AS score
+       |FROM scored ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB oracles. Tables are registered under their bare names; column
     * names and ORDER BY mirror the Spark side exactly.
     */
@@ -639,6 +678,7 @@ object SparkEntry {
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64, limit = 50),
     "q_simhash_pairs" -> simhashOracle(maxHamming = 8, limit = 50,
       maxBucketSize = 64),
+    "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (
