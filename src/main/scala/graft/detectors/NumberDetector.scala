@@ -9,6 +9,26 @@ import scala.collection.mutable.ListBuffer
   */
 final case class Detected(value: String, unit: Option[String], original: String)
 
+/** Common surface of the per-language number engines (the latin-script
+  * digit+word engine and the Chinese digit-by-digit/scaling engine).
+  */
+trait NumberDetection {
+  def detect(text: String): Seq[Detected]
+}
+
+/** The reference's `_SPAN_BOUNDARY_TEMPLATE`
+  * (standard_number_detector.py:32): a span counts only when preceded by
+  * start-of-text/space/quote/comma/dash/question and followed by
+  * end-of-text or closing punctuation. NOT `\b` — Java's ASCII `\b` fails
+  * after Indic combining matras (e.g. the final vowel sign of `सौ`), so
+  * boundary semantics must be these explicit character classes.
+  */
+object SpanBoundary {
+  def pattern(original: String): Pattern = Pattern.compile(
+    "(?:^|(?<=[\\s\"',\\-?]))" + Pattern.quote(original) +
+      "(?=[\\s!\"%',?.\\-]|$)")
+}
+
 /** Number detection: digits (with thousands commas, decimal point, scale
   * suffix like `2.2k`) first, then number words — the reference's ordered
   * `detector_preferences` pipeline with tag consumption between stages
@@ -18,16 +38,30 @@ final class NumberDetector(
     entityName: String = "number",
     unitsMap: Map[String, String] = Map.empty, // variant -> canonical unit
     minDigits: Int = 1,
-    maxDigits: Int = 6) {
+    maxDigits: Int = 6,
+    // per-language vocabulary (defaults = en; other languages load their
+    // reference CSVs via NumberLangData — same engine, swapped tables)
+    wordMap: Map[String, NumberWords.NumberVariant] = NumberWords.en,
+    digitScales: Map[String, Long] = NumberWords.enDigitScales)
+  extends NumberDetection {
 
   private val tag = s"__${entityName}__"
 
-  private val scaleAlt = NumberWords.enDigitScales.keys.toSeq
+  private val scaleAlt = digitScales.keys.toSeq
     .sortBy(-_.length).map(Pattern.quote).mkString("|")
+  // UNICODE_CHARACTER_CLASS: the reference's re.UNICODE \d matches native
+  // digit scripts (e.g. Devanagari २००), and so must ours
   private val digitPattern = Pattern.compile(
-    raw"(([\d,]+\.?[\d]*)\s?($scaleAlt))[\s\-:]|([\d,]+\.?[\d]*)")
+    raw"(([\d,]+\.?[\d]*)\s?($scaleAlt))[\s\-:]|([\d,]+\.?[\d]*)",
+    Pattern.UNICODE_CHARACTER_CLASS)
   private val unitAlt = unitsMap.keys.toSeq
     .sortBy(-_.length).map(Pattern.quote).mkString("|")
+
+  /** Any-script decimal digits → ASCII (int('२००') == 200 in the
+    * reference; Long.parseLong needs the mapping made explicit).
+    */
+  private def asciiDigits(s: String): String =
+    s.map(c => if (c.isDigit) ('0' + Character.digit(c, 10)).toChar else c)
 
   def detect(text: String): Seq[Detected] = {
     var processed = text.toLowerCase(java.util.Locale.ROOT)
@@ -42,10 +76,10 @@ final class NumberDetector(
     while (m.find()) {
       val (numStr, scale, originalRaw) =
         if (m.group(2) != null && isNumeric(m.group(2)))
-          (m.group(2).replace(",", ""), NumberWords.enDigitScales(m.group(3)),
+          (asciiDigits(m.group(2)).replace(",", ""), digitScales(m.group(3)),
             m.group(1).strip().stripSuffix(",").stripSuffix(".").strip())
         else if (m.group(4) != null && isNumeric(m.group(4)))
-          (m.group(4).replace(",", ""), 1L,
+          (asciiDigits(m.group(4)).replace(",", ""), 1L,
             m.group(4).strip().stripSuffix(",").stripSuffix(".").strip())
         else (null, 0L, null)
       if (numStr != null && numStr.nonEmpty && numStr != "." && originalRaw.nonEmpty) {
@@ -70,13 +104,14 @@ final class NumberDetector(
     }
 
     // stage 2: number words over the consumed text
-    val (nums, origs) = NumberWords.numbersFromWords(processed)
-    for ((n, o) <- nums.zip(origs) if digitCountOk(n.toString)) {
+    val (nums, origs) = NumberWords.numbersFromWords(processed, wordMap)
+    for ((n, o) <- nums.zip(origs);
+        value = NumberWords.numString(n) if digitCountOk(value)) {
       val (unit, original) = captureUnit(o, processed)
       val (consumed, at) = consumeOnceAt(processed, original)
       if (at >= 0) {
         processed = consumed
-        out += ((at, Detected(n.toString, unit, original)))
+        out += ((at, Detected(value, unit, original)))
       }
     }
     out.sortBy(_._1).map(_._2).toSeq
@@ -108,13 +143,12 @@ final class NumberDetector(
     } else (None, original)
   }
 
-  /** Word-boundary tag substitution, first occurrence only
+  /** Span-boundary tag substitution, first occurrence only
     * (standard_number_detector.py:367-381 span template). Returns the new
     * text and the match position (-1 when not found).
     */
   private def consumeOnceAt(text: String, original: String): (String, Int) = {
-    val p = Pattern.compile(raw"\b" + Pattern.quote(original) + raw"\b")
-    val m = p.matcher(text)
+    val m = SpanBoundary.pattern(original).matcher(text)
     if (!m.find()) (text, -1)
     else (text.substring(0, m.start()) + tag + text.substring(m.end()), m.start())
   }

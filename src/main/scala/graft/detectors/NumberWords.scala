@@ -12,7 +12,16 @@ package graft.detectors
   */
 object NumberWords {
 
-  final case class NumberVariant(scale: Long, increment: Long)
+  /** increment is a Double: several languages ship fractional unit words
+    * (hi डेढ़ = 1.5, ढाई = 2.5 — numerals_constant.csv rows 3 and 5).
+    */
+  final case class NumberVariant(scale: Long, increment: Double)
+
+  /** Reference value formatting: integral floats collapse to int strings
+    * (utils.py:66-68), fractions keep their shortest decimal form.
+    */
+  def numString(v: Double): String =
+    if (v.isWhole && math.abs(v) < 9.2e18) v.toLong.toString else v.toString
 
   /** English word map per the reference's per-language CSV semantics
     * (ner_v2/detectors/numeral/number/en/data/numerals_constant.csv),
@@ -51,11 +60,11 @@ object NumberWords {
     "crores" -> 10000000L, "c" -> 10000000L, "cr" -> 10000000L,
     "billion" -> 1000000000L, "bil" -> 1000000000L, "b" -> 1000000000L)
 
-  /** Returns (values, originalTexts). Values are integral Longs (the
-    * reference collapses integral floats to int).
+  /** Returns (values, originalTexts). Values are Doubles; format with
+    * [[numString]] for the reference's int-collapsing string form.
     */
   def numbersFromWords(text0: String,
-      wordMap0: Map[String, NumberVariant] = en): (List[Long], List[String]) = {
+      wordMap0: Map[String, NumberVariant] = en): (List[Double], List[String]) = {
     // exclude 1-char scale words (reference utils.py:38-39)
     val wordMap = wordMap0.filter { case (w, v) =>
       (w.length > 1 && v.increment == 0) || v.scale == 1
@@ -72,8 +81,8 @@ object NumberWords {
     // only need originals joined by single spaces, so track tokens + join
     val parts = raw
 
-    var current = 0L
-    var result = 0L
+    var current = 0.0
+    var result = 0.0
     var currentText = ""
     var resultText = ""
     var onNumber = false
@@ -81,7 +90,7 @@ object NumberWords {
     var prevScale = 0L
     var isDoubleOrTriple = false
 
-    val numbers = List.newBuilder[Long]
+    val numbers = List.newBuilder[Double]
     val originals = List.newBuilder[String]
 
     def flush(): Unit = {
@@ -114,7 +123,9 @@ object NumberWords {
               current = 0
               currentText = ""
             }
-            val digitLen = math.max(increment.toString.length, scale.toString.length)
+            // reference: max(len(str(int(increment))), len(str(scale)))
+            val digitLen = math.max(increment.toLong.toString.length,
+              scale.toString.length)
             if (digitLen == prevDigitLen) {
               if (onNumber) flush()
               result = 0; current = 0
@@ -122,7 +133,7 @@ object NumberWords {
             }
             if (digitLen > prevDigitLen) {
               if (onNumber && prevScale == scale)
-                current = current * math.pow(10, digitLen).toLong
+                current = current * math.pow(10, digitLen)
             }
             if (isDoubleOrTriple) {
               scale = prevScale

@@ -15,19 +15,59 @@ import scala.collection.mutable.ListBuffer
 final case class DetectedRange(minValue: Option[String],
     maxValue: Option[String], unit: Option[String], original: String)
 
+/** The five keyword families driving range classification, as regex
+  * alternations (reference number_range_keywords.csv semantics: position
+  * -1 = before the number, 1 = after, 0 = between min and max).
+  */
+final case class RangeKeywords(minPrefix: String, minSuffix: String,
+    maxPrefix: String, maxSuffix: String, sep: String)
+
+object RangeKeywords {
+
+  /** en keyword families (en/data/number_range_keywords.csv semantics). */
+  val en: RangeKeywords = RangeKeywords(
+    minPrefix = raw"(?:above|abv|abov|more than|mor than|greater than|greater|over)",
+    minSuffix = raw"(?:onwards|and above|or above|or more|or great)",
+    maxPrefix = raw"(?:max|upto|up to|below|less than|less|under)",
+    maxSuffix = raw"(?:max)",
+    sep = raw"(?:to|till|until|-)")
+
+  private def alt(kws: Seq[String]): String =
+    if (kws.isEmpty) raw"(?:\b\B)" // unmatchable
+    else kws.sortBy(-_.length).map(java.util.regex.Pattern.quote)
+      .mkString("(?:", "|", ")")
+
+  /** Build the families from a per-language keyword table
+    * (variants, position, range_type).
+    */
+  def fromTable(table: Seq[(Seq[String], Int, String)]): RangeKeywords = {
+    def pick(pos: Int, rtype: String): Seq[String] =
+      table.collect { case (vs, p, t) if p == pos && t == rtype => vs }.flatten
+    RangeKeywords(
+      minPrefix = alt(pick(-1, "min")),
+      minSuffix = alt(pick(1, "min")),
+      maxPrefix = alt(pick(-1, "max")),
+      maxSuffix = alt(pick(1, "max")),
+      sep = alt(pick(0, "min_max")))
+  }
+}
+
 final class NumberRangeDetector(entityName: String = "number_range",
-    unitsMap: Map[String, String] = Map.empty) {
+    unitsMap: Map[String, String] = Map.empty,
+    keywords: RangeKeywords = RangeKeywords.en,
+    numberDetectorOverride: Option[NumberDetection] = None,
+    requireUnit: Boolean = false) {
 
   private val tag = s"__${entityName}__"
-  private val numberDetector =
-    new NumberDetector(entityName, unitsMap, minDigits = 1, maxDigits = 100)
+  private val numberDetector: NumberDetection = numberDetectorOverride
+    .getOrElse(new NumberDetector(entityName, unitsMap, minDigits = 1,
+      maxDigits = 100))
 
-  private val minPrefix =
-    raw"(?:above|abv|abov|more than|mor than|greater than|greater|over)"
-  private val minSuffix = raw"(?:onwards|and above|or above|or more|or great)"
-  private val maxPrefix = raw"(?:max|upto|up to|below|less than|less|under)"
-  private val maxSuffix = raw"(?:max)"
-  private val sep = raw"(?:to|till|until|-)"
+  private val minPrefix = keywords.minPrefix
+  private val minSuffix = keywords.minSuffix
+  private val maxPrefix = keywords.maxPrefix
+  private val maxSuffix = keywords.maxSuffix
+  private val sep = keywords.sep
 
   private val ph = raw"__dnumber_(\d+)__"
   private val pMinMax = Pattern.compile(raw"$ph\s*$sep\s*$ph")
@@ -41,17 +81,19 @@ final class NumberRangeDetector(entityName: String = "number_range",
     val lowered = text0.toLowerCase(java.util.Locale.ROOT)
     val nums = numberDetector.detect(lowered)
 
-    // phase 1: tag numbers with indexed placeholders (span order)
+    // phase 1: tag numbers with indexed placeholders. Reference order:
+    // longest original first (so a substring original cannot steal a longer
+    // one's span), span-boundary template, first occurrence only
+    // (standard_number_range_detector.py:119-142)
     var tagged = lowered
-    val byIdx = nums.zipWithIndex.map { case (d, i) =>
-      val p = Pattern.compile(raw"\b" + Pattern.quote(d.original) + raw"\b")
-      val m = p.matcher(tagged)
+    val byIdx = nums.zipWithIndex.map { case (d, i) => i -> d }.toMap
+    for ((d, i) <- nums.zipWithIndex.sortBy(-_._1.original.length)) {
+      val m = SpanBoundary.pattern(d.original).matcher(tagged)
       if (m.find()) {
         tagged = tagged.substring(0, m.start()) + s"__dnumber_${i}__" +
           tagged.substring(m.end())
       }
-      i -> d
-    }.toMap
+    }
 
     val results = ListBuffer.empty[(Int, DetectedRange)]
 
@@ -62,7 +104,12 @@ final class NumberRangeDetector(entityName: String = "number_range",
     def run(p: Pattern)(mk: java.util.regex.Matcher => DetectedRange): Unit = {
       var m = p.matcher(tagged)
       val found = ListBuffer.empty[(String, DetectedRange)]
-      while (m.find()) found += ((m.group(), mk(m)))
+      // requireUnit = the reference's unit_type gate: a range whose number
+      // carries no unit of the requested type is not a range at all
+      while (m.find()) {
+        val r = mk(m)
+        if (!requireUnit || r.unit.isDefined) found += ((m.group(), r))
+      }
       for ((span, r) <- found) {
         val mm = Pattern.compile(Pattern.quote(span)).matcher(tagged)
         if (mm.find()) {

@@ -95,7 +95,7 @@ object PassengerDetector {
         else (m.group(4), m.group(3))
       val value: Option[Long] =
         if (numStr.forall(_.isDigit)) Some(numStr.toLong)
-        else NumberWords.numbersFromWords(numStr)._1.headOption
+        else NumberWords.numbersFromWords(numStr)._1.headOption.map(_.toLong)
       value.foreach(v =>
         out += Detected(v.toString, Some(kw(kwStr)), m.group().strip()))
     }

@@ -139,6 +139,37 @@ object functions {
     c => u(c)
   }
 
+  private val langNumberCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Option[String]), NumberDetection]
+  private val langRangeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Option[String]), NumberRangeDetector]
+
+  /** Language-generic number detection (F18/F19 breadth): CSV-driven
+    * vocabularies (built-in: hi, bn, gu, mr, ta, te, zh-TW). Same envelope
+    * as detect_numbers.
+    */
+  def detect_numbers_lang(language: String,
+      unitType: Option[String] = None): Column => Column = {
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(String, Option[String], String)]
+      else pack(langNumberCache.getOrElseUpdate((language, unitType),
+        lang.NumberDetectors.forLanguage(language, unitType)).detect(text)))
+    c => u(c)
+  }
+
+  /** Language-generic number-range detection (F22 breadth; built-in: hi).
+    * Same envelope as detect_number_ranges.
+    */
+  def detect_number_ranges_lang(language: String,
+      unitType: Option[String] = None): Column => Column = {
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(Option[String], Option[String], Option[String], String)]
+      else langRangeCache.getOrElseUpdate((language, unitType),
+          lang.NumberRangeDetectors.forLanguage(language, unitType))
+        .detect(text).map(r => (r.minValue, r.maxValue, r.unit, r.original)))
+    c => u(c)
+  }
+
   val detect_number_ranges: Column => Column = {
     lazy val det = new NumberRangeDetector()
     val u = udf((text: String) =>

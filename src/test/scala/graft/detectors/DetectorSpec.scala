@@ -34,19 +34,19 @@ class DetectorSpec extends AnyFunSuite {
   }
 
   test("number words: reference algebra examples (utils.py docstring)") {
-    assert(NumberWords.numbersFromWords("one thousand two")._1 == List(1002L))
-    assert(NumberWords.numbersFromWords("one two three")._1 == List(1L, 2L, 3L))
+    assert(NumberWords.numbersFromWords("one thousand two")._1 == List(1002.0))
+    assert(NumberWords.numbersFromWords("one two three")._1 == List(1.0, 2.0, 3.0))
     assert(NumberWords.numbersFromWords("two hundred three four hundred three")._1 ==
-      List(203L, 403L))
-    assert(NumberWords.numbersFromWords("twenty five")._1 == List(25L))
-    assert(NumberWords.numbersFromWords("thousand")._1 == List(1000L))
-    assert(NumberWords.numbersFromWords("double two")._1 == List(22L))
-    assert(NumberWords.numbersFromWords("triple five")._1 == List(555L))
+      List(203.0, 403.0))
+    assert(NumberWords.numbersFromWords("twenty five")._1 == List(25.0))
+    assert(NumberWords.numbersFromWords("thousand")._1 == List(1000.0))
+    assert(NumberWords.numbersFromWords("double two")._1 == List(22.0))
+    assert(NumberWords.numbersFromWords("triple five")._1 == List(555.0))
     // equal digit-length words break the run — reference flushes 22 then 3
-    assert(NumberWords.numbersFromWords("double two three")._1 == List(22L, 3L))
+    assert(NumberWords.numbersFromWords("double two three")._1 == List(22.0, 3.0))
     assert(NumberWords.numbersFromWords("no numbers here")._1 == Nil)
     // misspelling variants from the per-language data
-    assert(NumberWords.numbersFromWords("fourty two")._1 == List(42L))
+    assert(NumberWords.numbersFromWords("fourty two")._1 == List(42.0))
   }
 
   test("words via the full detector, span-sorted (reference O5)") {
