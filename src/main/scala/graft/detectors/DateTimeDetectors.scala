@@ -341,7 +341,19 @@ final class DateDetector(referenceDate: LocalDate,
   */
 final case class DetectedTime(hh: Int, mm: Int, nn: String, original: String)
 
-final class TimeDetector(entityName: String = "time") {
+object TimeDetector {
+  /** Deterministic stand-in for the reference's wall-clock `now` in the
+    * bare-time meridiem rule (_get_meridiem, time_detection.py:1393-1432):
+    * a data pipeline must not change answers between runs, so the
+    * "within 12 hours from now" inference is computed against an explicit
+    * reference time, defaulting to noon (the reference's datetime.now()).
+    */
+  val DefaultReference: java.time.LocalDateTime =
+    java.time.LocalDateTime.of(2026, 1, 15, 12, 0)
+}
+
+final class TimeDetector(entityName: String = "time",
+    referenceTime: java.time.LocalDateTime = TimeDetector.DefaultReference) {
 
   private val tag = s"__${entityName}__"
 
@@ -374,6 +386,44 @@ final class TimeDetector(entityName: String = "time") {
   // "19 hrs" / "at 07 hours" — 24h hour-only military form
   private val restricted24 = Pattern.compile(
     raw"\b(\d{1,2})\s?(?:hrs|hours)\b")
+  // prefix word + bare 12h hour, meridiem from a daytime word elsewhere in
+  // the message (_detect_12_hour_word_format2, time_detection.py:1165-1224)
+  private val prefixHourWord = Pattern.compile(
+    raw"((?:by|before|after|at|on|dot|exactly|exact)[\s-]*(0?[1-9]|1[0-2]))\b")
+  // reference word probes require a preceding whitespace char (\s(word)),
+  // not a word boundary — reproduced exactly
+  private val amWordsWs = Pattern.compile(
+    raw"\s(morning|early|subah|mrng|mrning|savere)")
+  private val pmWordsWs = Pattern.compile(
+    raw"\s(noon|afternoon|evening|evng|evning|sham)")
+  private val nightWordsWs = Pattern.compile(
+    raw"\s(night|nite|tonight|latenight|tonit|nit|rat)")
+  // prefix word + 12h hour(+optional minutes), trailing whitespace REQUIRED
+  // (_detect_time_without_format, :1278-1330); meridiem = within-12h-of-now
+  private val prefixBareTime = Pattern.compile(
+    raw"\b((?:by|before|after|at|dot|exactly|exact)[\s-]*((0?[1-9]|1[0-2])[:.\s]*([0-5][0-9])?))\s")
+  // 12h time + o'clock/hours suffix (_detect_time_without_format_preceeding,
+  // :1332-1380; the bot_message fallback branch is out of scope — no
+  // conversation context in the column surface)
+  private val oclockTime = Pattern.compile(
+    raw"\b(((0?[1-9]|1[0-2])[:.\s]*([0-5][0-9])?)[\s-]*(?:o'clock|o' clock|clock|oclock|o clock|hours))\b")
+
+  /** _get_meridiem: the hour is placed in the 12-hour window starting at
+    * the reference time; hh = 0 or >= 12 short-circuits to 'hrs'.
+    */
+  private def meridiemOf(hh: Int, mm: Int): String = {
+    if (hh == 0 || hh >= 12) return "hrs"
+    var ch = referenceTime.getHour
+    val cm = referenceTime.getMinute
+    if (ch >= 12) {
+      ch -= 12
+      if (ch < hh || (ch == hh && cm < mm)) return "pm"
+    } else {
+      if (ch > hh) return "pm"
+      if (ch == hh && cm > mm) return "pm"
+    }
+    "am"
+  }
 
   def detect(text0: String): Seq[DetectedTime] = {
     var processed = text0.toLowerCase(java.util.Locale.ROOT)
@@ -468,14 +518,36 @@ final class TimeDetector(entityName: String = "time") {
         found.foreach(add)
       }
     }
-    // 3. 24h clock
+    // 2c. prefix word + bare hour with a daytime word ("at 8 in the
+    // morning", "on 12 night"); NO daytime word anywhere → the whole
+    // sub-detector aborts, exactly like the reference's early return
+    locally {
+      val m = prefixHourWord.matcher(processed)
+      val found = ListBuffer.empty[DetectedTime]
+      var aborted = false
+      while (!aborted && m.find()) {
+        val t1 = m.group(2).toInt
+        val nn =
+          if (amWordsWs.matcher(processed).find()) "am"
+          else if (pmWordsWs.matcher(processed).find()) "pm"
+          else if (nightWordsWs.matcher(processed).find())
+            (if (t1 == 12 || t1 < 5) "am" else "pm")
+          else { aborted = true; "" }
+        if (!aborted) found += DetectedTime(t1, 0, nn, m.group(1).strip())
+      }
+      found.foreach(add)
+    }
+    // 3. 24h clock — meridiem via the within-12h rule for hours 1-11
+    // (reference _detect_24_hour_format:1267 calls _get_meridiem; only
+    // hh = 0 / hh >= 12 short-circuit to 'hrs')
     locally {
       val m = clock24.matcher(processed)
       val found = ListBuffer.empty[DetectedTime]
       while (m.find()) {
         val hh = m.group(1).toInt
         val mm = m.group(2).toInt
-        if (hh <= 23 && mm < 60) found += DetectedTime(hh, mm, "hrs", m.group().strip())
+        if (hh <= 23 && mm < 60)
+          found += DetectedTime(hh, mm, meridiemOf(hh, mm), m.group().strip())
       }
       found.foreach(add)
     }
@@ -487,6 +559,38 @@ final class TimeDetector(entityName: String = "time") {
       while (m.find()) {
         val hh = m.group(1).toInt
         if (hh <= 23) found += DetectedTime(hh, 0, "hrs", m.group().strip())
+      }
+      found.foreach(add)
+    }
+    // 4. prefix word + bare 12h time, meridiem inferred within 12 hours of
+    // the reference time ("lets meet at 5 today" → 5 pm when it's noon)
+    locally {
+      val m = prefixBareTime.matcher(processed)
+      val found = ListBuffer.empty[DetectedTime]
+      while (m.find()) {
+        val hh = m.group(3).toInt
+        val mm = Option(m.group(4)).map(_.toInt).getOrElse(0)
+        found += DetectedTime(hh, mm, meridiemOf(hh, mm), m.group(1).strip())
+      }
+      found.foreach(add)
+    }
+    // 4b. 12h time + o'clock/hours suffix ("5 o'clock"). Reference-bug
+    // parity (time_detection.py:1373-1376): the code reads the HOUR group
+    // into the minutes slot (pattern[3] is the hour, not the minutes), so
+    // "5 o'clock" reports mm = 5. Colon-separated forms never reach this
+    // detector — the 24h format consumes them first (reference order too).
+    locally {
+      val m = oclockTime.matcher(processed)
+      val found = ListBuffer.empty[DetectedTime]
+      while (m.find()) {
+        // reference does int(time_part): non-digit forms raise there (we
+        // skip instead of crashing — the only intentional divergence)
+        val timePart = m.group(2).strip()
+        if (timePart.forall(_.isDigit)) {
+          val hh = timePart.toInt
+          val mm = m.group(3).toInt // the reference's pattern[3] = hour group
+          found += DetectedTime(hh, mm, meridiemOf(hh, mm), m.group(1).strip())
+        }
       }
       found.foreach(add)
     }

@@ -122,6 +122,26 @@ class DateTimeSpec extends AnyFunSuite {
     assert(times("no time here").isEmpty)
   }
 
+  test("bare times with prefix words — within-12h meridiem (ref :1278-1380)") {
+    // TimeDetector's deterministic reference clock is noon; goldens were
+    // generated by running the reference with datetime.now frozen there
+    assert(times("lets meet at 5 today") == Seq((5, 0, "pm")))
+    assert(times("reach by 6:20 please") == Seq((6, 20, "pm")))
+    // trailing whitespace is REQUIRED by the reference pattern — a bare
+    // time at end-of-message is not detected
+    assert(times("reach at 5").isEmpty)
+    // o'clock suffix; reference-bug parity: minutes slot gets the hour
+    assert(times("5 o'clock sharp") == Seq((5, 5, "pm")))
+    assert(times("be there by 4:30 oclock") == Seq((4, 30, "pm")))
+  }
+
+  test("prefix word + bare hour with daytime words (ref word format2)") {
+    assert(times("come at 8 in the morning") == Seq((8, 0, "am")))
+    assert(times("on 12 night we leave") == Seq((12, 0, "am")))
+    assert(times("at 3 night") == Seq((3, 0, "am")))
+    assert(times("at 11 night please") == Seq((11, 0, "pm")))
+  }
+
   test("restricted 24h hour-only form ('19 hrs')") {
     assert(times("lands at 19 hrs sharp") == Seq((19, 0, "hrs")))
     // diff/every forms keep priority over the bare-hours reading
