@@ -224,8 +224,13 @@ object SparkEntry {
     }),
     "q_detect_numbers" -> ((s, d) => {
       import graft.detectors.{functions => df}
+      // braces → spaces: the reference's span-boundary template (now
+      // implemented faithfully) rejects a digit run flush against '}', so
+      // raw JSON would detect nothing — detection runs over the
+      // space-tokenized form; the digit-run oracle is unaffected
       table(s, d, "events")
-        .select(col("event_id"), explode(df.detect_numbers(col("props"))).as("m"))
+        .select(col("event_id"),
+          explode(df.detect_numbers(translate(col("props"), "{}", "  "))).as("m"))
         .select(col("event_id"), col("m._1").as("value"))
         .orderBy("event_id", "value")
     }),

@@ -45,13 +45,19 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("tfs"), s"tfs not pruned:\n$readSchema")
   }
 
-  test("hit resolution uses a broadcast join") {
+  test("hit resolution is a driver-merged point lookup (no join stage)") {
     import graft.query.Searcher
     val hits = Searcher.search(spark, indexDir, "import", 5)
     val resolved = Searcher.resolveHits(spark, indexDir, hits)
+    // top-k hits merge on the driver after ONE pruned docs scan — the
+    // returned frame is a local relation, not a distributed join
     val plan = executedPlan(resolved)
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      s"expected broadcast join:\n$plan")
+    assert(plan.contains("LocalTableScan"), s"expected local relation:\n$plan")
+    assert(!plan.contains("Join"), s"expected no join stage:\n$plan")
+    // ranks arrive in order and resolve to real corpus rows
+    val rows = resolved.collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    assert(rows.forall(r => r.getAs[String]("sha256").length == 64))
   }
 
   test("analyzer expressions stay inside whole-stage codegen") {
