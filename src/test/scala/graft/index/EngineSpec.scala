@@ -137,6 +137,42 @@ class EngineSpec extends SparkTestBase {
       Searcher.resolve(spark, dirDelta, "import"), 10).nonEmpty)
   }
 
+  test("compaction re-salts terms that became hot mid-delta-chain") {
+    import spark.implicits._
+    val cfg = IndexConfig(numBuckets = 8, saltThreshold = 600L, maxSalts = 8)
+    val dir = tmpDir("graft-resalt")
+    def saltsOf(term: String): Int = {
+      val meta = Snapshot.load(dir).get
+      spark.read.schema(IndexSchemas.dict).parquet(meta.dictDir(dir))
+        .filter(col("term") === term).select("numSalts").as[Int].head()
+    }
+    def resolved(): Seq[(String, Double)] = {
+      val meta = Snapshot.load(dir).get
+      val paths = spark.read.schema(IndexSchemas.docs)
+        .parquet(meta.docsDirs(dir): _*)
+        .select("docId", "path").as[(Long, String)].collect().toMap
+      Searcher.searchHits(spark, dir,
+        Searcher.resolve(spark, dir, "import def"), 2000)
+        .map(h => (paths(h.docId), h.score)).sortBy(identity).toSeq
+    }
+    // base generation: 'import' df ~400 < threshold → 1 salt
+    IndexBuilder.build(CodeCorpus.generate(spark, 400L, seed = 7L), dir, cfg)
+    assert(saltsOf("import") == 1)
+    // delta growth to 1500 docs: df crosses the threshold but the delta
+    // contract FREEZES existing terms' salt counts (WAND task ownership
+    // relies on stable salt nesting within a chain)
+    IndexBuilder.buildDelta(CodeCorpus.generate(spark, 1500L, seed = 7L), dir, cfg)
+    assert(saltsOf("import") == 1, "delta must freeze existing salt counts")
+    val before = resolved()
+    assert(before.nonEmpty)
+    // compaction (the full rebuild StreamingIngest triggers at the chain
+    // limit) re-derives salt counts from CURRENT df: the now-hot term
+    // spreads over multiple salts, and answers are value-identical
+    IndexBuilder.build(CodeCorpus.generate(spark, 1500L, seed = 7L), dir, cfg)
+    assert(saltsOf("import") > 1, "compaction must re-salt by current df")
+    assert(resolved() == before, "compaction must not change answers")
+  }
+
   test("all three serving tiers are bit-identical") {
     import graft.query.IndexReader
     // zero budgets force the persisted-Dataset scatter-gather path
