@@ -31,9 +31,18 @@ object Lemmatizer {
   private val vowels = "aeiou".toSet
 
   /** Lemmatize a lowercase word. */
-  def lemma(w: String): String = {
+  def lemma(w: String): String = lemma(w, Map.empty)
+
+  /** Dictionary-first lemmatization: a caller-supplied word→lemma table
+    * (e.g. a WordNet exception list loaded from the user's own data,
+    * broadcast by the column wrapper) takes precedence; the built-in
+    * irregulars + suffix rules remain the fallback. This is the seam that
+    * closes the F4 divergence when the deployment can ship a real lemma
+    * dictionary — the engine no longer hardcodes the vocabulary.
+    */
+  def lemma(w: String, table: Map[String, String]): String = {
     if (w.length < 3) return w
-    irregular.get(w).getOrElse {
+    table.get(w).orElse(irregular.get(w)).getOrElse {
       if (w.endsWith("ies") && w.length > 4) w.dropRight(3) + "y"
       else if (w.endsWith("sses") || w.endsWith("shes") || w.endsWith("ches") ||
         w.endsWith("xes") || w.endsWith("zes")) w.dropRight(2)
@@ -66,5 +75,10 @@ object Lemmatizer {
         s.last == 's' || s.last == 'z' || s.last == 'u')) s + "e"
     else s
 
-  def lemmatize(tokens: Array[String]): Array[String] = tokens.map(lemma)
+  def lemmatize(tokens: Array[String]): Array[String] =
+    tokens.map(t => lemma(t))
+
+  def lemmatize(tokens: Array[String],
+      table: Map[String, String]): Array[String] =
+    tokens.map(t => lemma(t, table))
 }

@@ -38,7 +38,8 @@ final class DateDetector(referenceDate: LocalDate,
       "saturday", "sunday")
     (full.map(w => w -> DayOfWeek.valueOf(w.toUpperCase)) ++
       full.map(w => w.take(3) -> DayOfWeek.valueOf(w.toUpperCase)) ++
-      Seq("tues" -> DayOfWeek.TUESDAY, "thurs" -> DayOfWeek.THURSDAY)).toMap
+      Seq("tues" -> DayOfWeek.TUESDAY, "thurs" -> DayOfWeek.THURSDAY,
+        "thur" -> DayOfWeek.THURSDAY)).toMap // full DAY_DICT (ner_v1/constant.py:62)
   }
   private val weekdayAlt = weekdays.keys.toSeq.sortBy(-_.length).mkString("|")
 

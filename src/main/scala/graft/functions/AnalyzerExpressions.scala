@@ -100,4 +100,24 @@ object functions {
   def analyze(c: Column): Column = column(AnalyzeText(expression(c)))
   def term_frequencies(c: Column): Column = column(TermFrequencies(expression(c)))
   def analyze_offsets(c: Column): Column = column(AnalyzeWithOffsets(expression(c)))
+
+  /** Dictionary-backed lemmatization of a token-array column (F4): the
+    * (word, lemma) table — the caller's stand-in for a WordNet exception
+    * list — is broadcast once and consulted before the built-in
+    * irregular+suffix rules. Guarded: a lemma dictionary is vocabulary-
+    * sized; refuse tables that clearly aren't one.
+    */
+  def lemmatize_with(table: org.apache.spark.sql.DataFrame,
+      maxEntries: Long = 5000000L): Column => Column = {
+    val spark = table.sparkSession
+    require(table.count() <= maxEntries,
+      s"lemma table exceeds $maxEntries entries — not a vocabulary table")
+    val m = table.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val bc = spark.sparkContext.broadcast(m)
+    val u = org.apache.spark.sql.functions.udf((tokens: Seq[String]) =>
+      if (tokens == null) null
+      else graft.analyzer.Lemmatizer.lemmatize(tokens.toArray, bc.value).toSeq)
+    c => u(c)
+  }
 }

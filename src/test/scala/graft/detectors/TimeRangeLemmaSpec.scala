@@ -52,6 +52,18 @@ class TimeRangeLemmaSpec extends AnyFunSuite {
     for ((in, want) <- cases) assert(Lemmatizer.lemma(in) == want, in)
   }
 
+  test("dictionary-first lemmatization: supplied table beats the rules") {
+    // a caller table (WordNet-exception-style) overrides both the suffix
+    // rules and the built-in irregulars; unlisted words fall through
+    val table = Map("better" -> "good", "went" -> "wend", "oxen" -> "ox")
+    assert(Lemmatizer.lemma("better", table) == "good")
+    assert(Lemmatizer.lemma("went", table) == "wend") // table wins
+    assert(Lemmatizer.lemma("oxen", table) == "ox")
+    assert(Lemmatizer.lemma("running", table) == "run") // fallback rules
+    assert(Lemmatizer.lemmatize(Array("better", "cities"), table).toSeq ==
+      Seq("good", "city"))
+  }
+
   test("R8 limits enforced on bulk requests") {
     val spark = graft.TestSpark.spark
     intercept[IllegalArgumentException] {

@@ -73,4 +73,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [graft_analyze") ||
       plan.contains("graft_analyze"), s"expression missing:\n$plan")
   }
+
+  test("broadcast lemma table drives column-level lemmatization") {
+    import spark.implicits._
+    import graft.functions.{functions => gf}
+    val table = Seq(("better", "good"), ("oxen", "ox")).toDF("word", "lemma")
+    val lem = gf.lemmatize_with(table)
+    val out = Seq((1L, Seq("better", "cities", "oxen", "running")))
+      .toDF("id", "tokens")
+      .select(lem(col("tokens")).as("lemmas"))
+      .as[Seq[String]].head()
+    assert(out == Seq("good", "city", "ox", "run"))
+  }
 }
