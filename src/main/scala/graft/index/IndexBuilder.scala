@@ -63,12 +63,17 @@ final case class SegmentRow(
   * leaves a parquet `_SUCCESS` marker; re-running the same version resumes
   * after the last complete stage (checkpoint resumability per north_rule).
   */
-object IndexBuilder {
+/** Internal row of the forward index (docs/ table). Top-level on purpose:
+  * nested inside the object, Spark's generated code references
+  * `IndexBuilder$DocRow` and janino fails to resolve the accessor methods,
+  * silently dropping the encoder projection of the HOTTEST build stage to
+  * interpreted mode ("Expr codegen error ... falling back" in stderr).
+  */
+private[index] final case class DocRow(docId: Long, repo: String,
+    path: String, commit: String, lang: String, sha256: String,
+    tfs: Map[String, Int], doclen: Int)
 
-  /** Internal row of the forward index (docs/ table). */
-  private final case class DocRow(docId: Long, repo: String, path: String,
-      commit: String, lang: String, sha256: String, tfs: Map[String, Int],
-      doclen: Int)
+object IndexBuilder {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
