@@ -24,11 +24,15 @@ final case class RangeKeywords(minPrefix: String, minSuffix: String,
 
 object RangeKeywords {
 
-  /** en keyword families (en/data/number_range_keywords.csv semantics). */
+  /** en keyword families — the full variant set of
+    * en/data/number_range_keywords.csv ('more den'/'mor den'/'or abov'/
+    * 'or abv'/'around'/'less den' included), plus the conversational
+    * extras 'under'/'till'/'until' kept from round 1 (a benign superset).
+    */
   val en: RangeKeywords = RangeKeywords(
-    minPrefix = raw"(?:above|abv|abov|more than|mor than|greater than|greater|over)",
-    minSuffix = raw"(?:onwards|and above|or above|or more|or great)",
-    maxPrefix = raw"(?:max|upto|up to|below|less than|less|under)",
+    minPrefix = raw"(?:above|abv|abov|more than|mor than|more den|mor den|greater than|greater|over)",
+    minSuffix = raw"(?:onwards|and above|or above|or more|or great|or abov|or abv)",
+    maxPrefix = raw"(?:max|upto|up to|around|below|less than|less den|less|under)",
     maxSuffix = raw"(?:max)",
     sep = raw"(?:to|till|until|-)")
 

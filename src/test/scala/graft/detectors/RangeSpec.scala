@@ -24,6 +24,9 @@ class RangeSpec extends AnyFunSuite {
   test("max with prefix keywords") {
     assert(ranges("upto 800 only") == Seq((None, Some("800"))))
     assert(ranges("less than 50") == Seq((None, Some("50"))))
+    // reference CSV variants added in round 3
+    assert(ranges("around 500 please") == Seq((None, Some("500"))))
+    assert(ranges("more den 75 items") == Seq((Some("75"), None)))
   }
 
   test("absolute numbers become point ranges; mixed sentence span-ordered") {
