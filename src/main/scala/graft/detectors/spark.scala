@@ -103,6 +103,23 @@ object functions {
     c => u(c)
   }
 
+  /** detect_times with an explicit reference clock for the bare-time
+    * meridiem rule ("at 5" → am/pm within 12 h of `referenceTime`) —
+    * the deterministic stand-in for the reference's datetime.now().
+    */
+  def detect_times_at(
+      referenceTime: java.time.LocalDateTime): Column => Column = {
+    val refStr = referenceTime.toString
+    val u = udf((text: String) =>
+      if (text == null) Seq.empty[(Int, Int, String, String)]
+      else timeDetectorCache.getOrElseUpdate(refStr,
+          new TimeDetector(referenceTime = java.time.LocalDateTime.parse(refStr)))
+        .detect(text).map(t => (t.hh, t.mm, t.nn, t.original)))
+    c => u(c)
+  }
+  private val timeDetectorCache =
+    scala.collection.concurrent.TrieMap.empty[String, TimeDetector]
+
   // per-executor detector caches for the CSV-driven language engines:
   // the compiled regex families are built once per (lang, ref) per JVM,
   // not per row
