@@ -442,8 +442,14 @@ object IndexBuilder {
     val fp = if (statsRow.isNullAt(2)) 0L
       else statsRow.getDecimal(2).toBigInteger.longValue()
 
+    // sizing totals into the manifest: readers pick their serving tier
+    // with zero Spark jobs at open()
+    val sizing = spark.read.schema(IndexSchemas.lineage).parquet(lineageDir)
+      .agg(sum("numShards"), sum("postingBytes")).collect()(0)
     val meta = SnapshotMeta(version, n, avgdl, cfg.numBuckets,
-      cfg.saltThreshold, cfg.maxSalts, cfg.k1, cfg.b, fp, hotTerms)
+      cfg.saltThreshold, cfg.maxSalts, cfg.k1, cfg.b, fp, hotTerms,
+      sizedShards = if (sizing.isNullAt(0)) 0L else sizing.getLong(0),
+      sizedPostingBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1))
     Snapshot.commit(indexDir, meta)
     meta
   }
@@ -602,9 +608,15 @@ object IndexBuilder {
     val fp = if (statsRow.isNullAt(2)) 0L
       else statsRow.getDecimal(2).toBigInteger.longValue()
 
+    // sizing totals across ALL contributing generations (manifest union)
+    val sizing = spark.read.schema(IndexSchemas.lineage)
+      .parquet((prev.lineageDirs(indexDir) :+ lineageDir): _*)
+      .agg(sum("numShards"), sum("postingBytes")).collect()(0)
     val meta = SnapshotMeta(version, n, avgdl, cfg.numBuckets,
       cfg.saltThreshold, cfg.maxSalts, cfg.k1, cfg.b, fp, hotTerms,
-      baseVersions = prev.allVersions)
+      baseVersions = prev.allVersions,
+      sizedShards = if (sizing.isNullAt(0)) 0L else sizing.getLong(0),
+      sizedPostingBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1))
     Snapshot.commit(indexDir, meta)
     meta
   }

@@ -30,7 +30,14 @@ final case class SnapshotMeta(
       * full build. The dict is always rewritten whole (it is |vocab|-sized),
       * so only docs/segments/lineage union across generations.
       */
-    baseVersions: Seq[Int] = Nil) {
+    baseVersions: Seq[Int] = Nil,
+    /** Totals across ALL contributing generations, recorded at build time
+      * so readers can pick their serving tier WITHOUT a Spark job (the
+      * open-time lineage probe was the whole cold-open cost). -1 = not
+      * recorded (older manifest) → readers fall back to the probe.
+      */
+    sizedShards: Long = -1L,
+    sizedPostingBytes: Long = -1L) {
 
   def docsDir(indexDir: String) = s"$indexDir/v$version/docs"
   def segmentsDir(indexDir: String) = s"$indexDir/v$version/segments"
@@ -61,6 +68,7 @@ final case class SnapshotMeta(
       s""""numBuckets":$numBuckets,"saltThreshold":$saltThreshold,""" +
       s""""maxSalts":$maxSalts,"k1":$k1,"b":$b,""" +
       s""""corpusFingerprint":$corpusFingerprint,""" +
+      s""""sizedShards":$sizedShards,"sizedPostingBytes":$sizedPostingBytes,""" +
       s""""baseVersions":$bases,"hotTerms":$hot}"""
   }
 }
@@ -181,7 +189,10 @@ object Snapshot {
       corpusFingerprint = field("corpusFingerprint").trim.toLong,
       hotTerms = hot,
       formatVersion = fieldOpt("formatVersion").map(_.trim.toInt).getOrElse(0),
-      baseVersions = bases)
+      baseVersions = bases,
+      sizedShards = fieldOpt("sizedShards").map(_.trim.toLong).getOrElse(-1L),
+      sizedPostingBytes =
+        fieldOpt("sizedPostingBytes").map(_.trim.toLong).getOrElse(-1L))
   }
 
   def listVersions(indexDir: String): Seq[Int] = {

@@ -224,12 +224,19 @@ object IndexReader {
       .getOrElse(throw new IllegalStateException(s"no snapshot at $indexDir"))
     openReaders.getOrElseUpdate((indexDir, meta.version, cfg), {
       import spark.implicits._
-      // lineage carries per-bucket posting byte totals — cheap sizing probe
-      val sizing = spark.read.schema(graft.index.IndexSchemas.lineage)
-        .parquet(meta.lineageDirs(indexDir): _*)
-        .agg(sum("numShards"), sum("postingBytes")).collect()(0)
-      val nShards = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
-      val pBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1)
+      // serving-tier sizing: recorded in the manifest at build time (zero
+      // Spark jobs — the open-time probe WAS the cold-open cost); older
+      // manifests fall back to the lineage aggregation
+      val (nShards, pBytes) =
+        if (meta.sizedShards >= 0 && meta.sizedPostingBytes >= 0)
+          (meta.sizedShards, meta.sizedPostingBytes)
+        else {
+          val sizing = spark.read.schema(graft.index.IndexSchemas.lineage)
+            .parquet(meta.lineageDirs(indexDir): _*)
+            .agg(sum("numShards"), sum("postingBytes")).collect()(0)
+          (if (sizing.isNullAt(0)) 0L else sizing.getLong(0),
+            if (sizing.isNullAt(1)) 0L else sizing.getLong(1))
+        }
       // the dict is |vocab|-sized and independent of posting bytes: load it
       // driver-side whenever the vocabulary fits — in-memory resolution
       // (incl. fuzzy expansion) even when the postings must stay
@@ -237,14 +244,21 @@ object IndexReader {
       val dictSmall = nShards <= cfg.maxDriverVocab
       val segSmall = dictSmall && pBytes <= cfg.maxDriverPostingBytes
 
-      val dictMap =
+      // dict and segments load as CONCURRENT Spark jobs (separate threads
+      // share the session safely) — the cold open was three sequential
+      // jobs and dominated the first query's latency
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val dictF = Future {
         if (!dictSmall) None
         else Some(
           spark.read.schema(graft.index.IndexSchemas.dict).parquet(meta.dictDir(indexDir))
             .select("term", "df", "maxTf", "numSalts")
             .as[(String, Long, Int, Int)].collect()
             .map(r => r._1 -> Searcher.TermStats(r._1, r._2, r._3, r._4)).toMap)
-      val segMap =
+      }
+      val segF = Future {
         if (!segSmall) None
         else Some(
           graft.index.IndexSchemas
@@ -254,6 +268,9 @@ object IndexReader {
             .groupBy(r => (r._1, r._2))
             .view.mapValues(_.map(r => SegShard(r._3, r._4, r._5)).toSeq)
             .toMap)
+      }
+      val dictMap = Await.result(dictF, Duration.Inf)
+      val segMap = Await.result(segF, Duration.Inf)
       new IndexReader(spark, indexDir, meta, cfg, dictMap, segMap)
     })
   }

@@ -47,10 +47,14 @@ object LocalDetector {
     import spark.implicits._
     val meta = Snapshot.load(storeDir)
       .getOrElse(throw new IllegalStateException(s"no snapshot at $storeDir"))
-    val sizing = spark.read.schema(IndexSchemas.lineage)
-      .parquet(meta.lineageDirs(storeDir): _*)
-      .agg(org.apache.spark.sql.functions.sum("postingBytes")).collect()(0)
-    val pBytes = if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
+    val pBytes =
+      if (meta.sizedPostingBytes >= 0) meta.sizedPostingBytes
+      else {
+        val sizing = spark.read.schema(IndexSchemas.lineage)
+          .parquet(meta.lineageDirs(storeDir): _*)
+          .agg(org.apache.spark.sql.functions.sum("postingBytes")).collect()(0)
+        if (sizing.isNullAt(0)) 0L else sizing.getLong(0)
+      }
     require(pBytes <= maxPostingBytes,
       s"dictionary index at $storeDir has $pBytes posting bytes > " +
         s"$maxPostingBytes broadcast budget — use the distributed tier")
