@@ -108,6 +108,40 @@ final class TimeRangeDetector {
       DetectedTimeRange(Some(t), Some(t), "normal", original(m.group()))
     }
 
+    // daypart default ranges — reference formats 20-24
+    // (_get_{morning,afternoon,evening,night,default}_time_range,
+    // time_detection.py:1434-1722): fire ONLY when no explicit time was
+    // detected anywhere in the message (`if not time_list` gate at :200-210)
+    if (times.isEmpty) {
+      val dayparts = Seq(
+        (raw"morning|early|subah|mrng|mrning|savere",
+          (12, 0, "am"), (11, 0, "am")),
+        (raw"noon|afternoon", (11, 0, "am"), (5, 0, "pm")),
+        (raw"evening|evng|evning|sham", (5, 0, "pm"), (9, 0, "pm")),
+        (raw"night|nite|tonight|latenight|tonit|nit|rat",
+          (9, 0, "pm"), (12, 0, "am")),
+        (raw"no particular preference|no preference|no particular time|" +
+          raw"no time|anytime|any time|all day|full day|entire day|entireday",
+          (12, 0, "am"), (11, 59, "pm")))
+      for ((alt, s0, e0) <- dayparts) {
+        val p = Pattern.compile(raw"\b((?:$alt)\s*(?:in|of|at)?)\b")
+        val m = p.matcher(tagged)
+        val found = ListBuffer.empty[String]
+        while (m.find()) found += m.group(1).strip()
+        for (span <- found) {
+          val mm = Pattern.compile(Pattern.quote(span)).matcher(tagged)
+          if (mm.find()) {
+            val st = DetectedTime(s0._1, s0._2, s0._3, span)
+            val en = DetectedTime(e0._1, e0._2, e0._3, span)
+            results += ((mm.start(), DetectedTimeRange(Some(st), Some(en),
+              "range", span)))
+            tagged = tagged.substring(0, mm.start()) + "__time_range__" +
+              tagged.substring(mm.end())
+          }
+        }
+      }
+    }
+
     results.sortBy(_._1).map(_._2).toSeq
   }
 }

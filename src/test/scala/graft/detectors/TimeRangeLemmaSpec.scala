@@ -52,6 +52,23 @@ class TimeRangeLemmaSpec extends AnyFunSuite {
     for ((in, want) <- cases) assert(Lemmatizer.lemma(in) == want, in)
   }
 
+  test("daypart default ranges fire only without explicit times (ref 20-24)") {
+    def rr(t: String) = tr.detect(t).map(r =>
+      (r.start.map(s => (s.hh, s.mm, s.nn)), r.end.map(e => (e.hh, e.mm, e.nn)),
+        r.rangeType))
+    // reference values: morning 12:00am-11:00am, evening 5pm-9pm,
+    // anytime 12:00am-11:59pm
+    assert(rr("i prefer flights in the morning") ==
+      Seq((Some((12, 0, "am")), Some((11, 0, "am")), "range")))
+    assert(rr("evening works for me") ==
+      Seq((Some((5, 0, "pm")), Some((9, 0, "pm")), "range")))
+    assert(rr("anytime is fine") ==
+      Seq((Some((12, 0, "am")), Some((11, 59, "pm")), "range")))
+    // explicit time present → the daypart fallback must NOT fire
+    assert(rr("9 pm tonight") ==
+      Seq((Some((9, 0, "pm")), Some((9, 0, "pm")), "normal")))
+  }
+
   test("dictionary-first lemmatization: supplied table beats the rules") {
     // a caller table (WordNet-exception-style) overrides both the suffix
     // rules and the built-in irregulars; unlisted words fall through
