@@ -374,6 +374,13 @@ object SparkEntry {
         .orderBy(col("hamming"), col("idA"), col("idB"))
         .limit(50)
     }),
+    "q_embed_neardup" -> ((s, d) => {
+      // embedding-cosine near-dup: SRP-bucket blocking + capped self-join +
+      // exact-cosine verify, fully DuckDB-replayed (bit-identical folds)
+      Dedup.embeddingNearDupPairs(table(s, d, "embeddings"), "embedding",
+          "vec_id", dim = 64, nBits = 6, minCosine = 0.3, maxBucketSize = 256)
+        .orderBy("idA", "idB")
+    }),
     "q_langid" -> ((s, d) => {
       TextAnalysis.langId(table(s, d, "documents"), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
@@ -573,6 +580,46 @@ object SparkEntry {
        |FROM scored ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** DuckDB SQL replaying q_embed_neardup: same SRP buckets (shared
+    * hyperplane literals via lshOracle's generator pieces), same bucket
+    * cap, exact-cosine verify with explicit-order folds.
+    */
+  private def embedNearDupOracle(dim: Int, nBits: Int, seed: Long,
+      minCosine: Double, maxBucketSize: Int): String = {
+    val model = graft.ops.Similarity.SrpModel(dim, nBits, seed)
+    def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
+    def fold(term: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $term), (a, b) -> a + b)"
+    val bucketExpr = (0 until nBits).map { b =>
+      val coefs = model.hyperplanes(b).map(dl).mkString("[", ", ", "]")
+      val proj = fold(s"CAST(embedding[i] AS DOUBLE) * ($coefs)[i]")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val dotAB = fold("CAST(p.ea[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)")
+    val nrmA = fold("CAST(p.ea[i] AS DOUBLE) * CAST(p.ea[i] AS DOUBLE)")
+    val nrmB = fold("CAST(p.eb[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)")
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding, bucket,
+       |      COUNT(*) OVER (PARTITION BY bucket) AS bsz
+       |    FROM bk) t WHERE bsz <= $maxBucketSize),
+       |pairs AS (
+       |  SELECT a.vec_id AS idA, b.vec_id AS idB,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM capped a JOIN capped b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT idA, idB, $dotAB AS dot, sqrt($nrmA) * sqrt($nrmB) AS nn
+       |  FROM pairs p)
+       |SELECT idA, idB,
+       |  CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END AS cosine
+       |FROM scored
+       |WHERE CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END >= $minCosine
+       |ORDER BY idA, idB""".stripMargin
+  }
+
   /** DuckDB oracles. Tables are registered under their bare names; column
     * names and ORDER BY mirror the Spark side exactly.
     */
@@ -684,6 +731,8 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashOracle(maxHamming = 8, limit = 50,
       maxBucketSize = 64),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),
+    "q_embed_neardup" -> embedNearDupOracle(dim = 64, nBits = 6, seed = 42L,
+      minCosine = 0.3, maxBucketSize = 256),
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (

@@ -182,6 +182,38 @@ object Dedup {
       .drop("shA", "shB")
   }
 
+  /** Embedding-cosine near-dup pairs — the vector-space sibling of
+    * minHashLsh: SRP buckets (Similarity.SrpModel — pure functions of
+    * (seed, bit, i)) block the corpus, buckets wider than `maxBucketSize`
+    * are skipped (the same degenerate-key guard as the other dedup ops),
+    * and candidates within a bucket verify with EXACT cosine against the
+    * threshold. Returns (idA, idB, cosine) with idA < idB.
+    *
+    * Recall is the standard LSH trade-off: only pairs sharing a bucket are
+    * candidates (raise nBits for precision, lower for recall — or probe
+    * neighboring buckets like lshKnn). Every arithmetic step is an
+    * explicit-order double fold, so the DuckDB oracle replays it
+    * bit-identically.
+    */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, nBits: Int = 6, seed: Long = 42L, minCosine: Double = 0.3,
+      maxBucketSize: Int = 256): DataFrame = {
+    import graft.ops.Similarity
+    val bucketed = Similarity.withSrpBucket(df, vecCol, dim, nBits, seed)
+      .select(col(idCol).as("_id"), col("srp_bucket"), col(vecCol).as("_v"))
+    val wB = Window.partitionBy("srp_bucket")
+    val capped = bucketed.withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val a = capped.select(col("srp_bucket"), col("_id").as("idA"), col("_v").as("va"))
+    val b = capped.select(col("srp_bucket"), col("_id").as("idB"), col("_v").as("vb"))
+    a.join(b, Seq("srp_bucket"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("idA", "idB", "cosine")
+  }
+
   /** JVM SimHash kernel: 64-bit, per-occurrence bit-majority vote over
     * nonempty whitespace tokens, token hash = md5-lower-64. ONE pass over
     * the tokens computing all 64 votes (round 1 shipped 64 aggregate()

@@ -98,6 +98,24 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("embedding near-dup pairs: planted dup found, cap prunes") {
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val nearDup = base.map(x => x * 1.0001f)
+    val vecs = ((0L, base) +: (1L, nearDup) +: (2L until 50L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      dim, nBits = 4, minCosine = 0.9)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // scaled copy shares every SRP bucket bit
+    // degenerate cap: everything in one bucket (nBits=0 → bucket 0) and
+    // cap 1 → no pairs survive the width guard
+    val capped = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      dim, nBits = 1, minCosine = -1.0, maxBucketSize = 1)
+    assert(capped.count() == 0)
+  }
+
   test("brute knn cosine: self is top hit with score 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
