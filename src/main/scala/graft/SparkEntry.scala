@@ -551,16 +551,28 @@ object SparkEntry {
     * hamming(bucket, query_bucket) <= 1 — the same set. `dim` must match
     * the stored embedding length (64 at every test sf).
     */
+  /** Shared SQL-generator pieces for the SRP-based oracles: exact
+    * round-trip double literals, the explicit-order left fold matching the
+    * engine's array-order summation, and the bucket expression from the
+    * model's hyperplanes. ONE definition — lshOracle and
+    * embedNearDupOracle must never drift apart.
+    */
+  private object SrpSql {
+    def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
+    def fold(dim: Int)(term: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $term), (a, b) -> a + b)"
+    def bucketExpr(model: graft.ops.Similarity.SrpModel, dim: Int): String =
+      (0 until model.hyperplanes.length).map { b =>
+        val coefs = model.hyperplanes(b).map(dl).mkString("[", ", ", "]")
+        val proj = fold(dim)(s"CAST(embedding[i] AS DOUBLE) * ($coefs)[i]")
+        s"(CASE WHEN $proj >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+  }
+
   private def lshOracle(dim: Int, nBits: Int, seed: Long, k: Int): String = {
     val model = graft.ops.Similarity.SrpModel(dim, nBits, seed)
-    def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
-    def fold(term: String): String =
-      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $term), (a, b) -> a + b)"
-    val bucketExpr = (0 until nBits).map { b =>
-      val coefs = model.hyperplanes(b).map(dl).mkString("[", ", ", "]")
-      val proj = fold(s"CAST(embedding[i] AS DOUBLE) * ($coefs)[i]")
-      s"(CASE WHEN $proj >= 0 THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
+    val fold = SrpSql.fold(dim) _
+    val bucketExpr = SrpSql.bucketExpr(model, dim)
     val dotQ = fold("CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)")
     val nrm2C = fold("CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)")
     val nrm2Q = fold("CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)")
@@ -587,14 +599,8 @@ object SparkEntry {
   private def embedNearDupOracle(dim: Int, nBits: Int, seed: Long,
       minCosine: Double, maxBucketSize: Int): String = {
     val model = graft.ops.Similarity.SrpModel(dim, nBits, seed)
-    def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
-    def fold(term: String): String =
-      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $term), (a, b) -> a + b)"
-    val bucketExpr = (0 until nBits).map { b =>
-      val coefs = model.hyperplanes(b).map(dl).mkString("[", ", ", "]")
-      val proj = fold(s"CAST(embedding[i] AS DOUBLE) * ($coefs)[i]")
-      s"(CASE WHEN $proj >= 0 THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
+    val fold = SrpSql.fold(dim) _
+    val bucketExpr = SrpSql.bucketExpr(model, dim)
     val dotAB = fold("CAST(p.ea[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)")
     val nrmA = fold("CAST(p.ea[i] AS DOUBLE) * CAST(p.ea[i] AS DOUBLE)")
     val nrmB = fold("CAST(p.eb[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)")

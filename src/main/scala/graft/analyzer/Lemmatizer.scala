@@ -41,8 +41,14 @@ object Lemmatizer {
     * dictionary — the engine no longer hardcodes the vocabulary.
     */
   def lemma(w: String, table: Map[String, String]): String = {
+    // table precedence is absolute — even for short words the length guard
+    // would otherwise pass through untouched
+    table.get(w) match {
+      case Some(l) => return l
+      case None =>
+    }
     if (w.length < 3) return w
-    table.get(w).orElse(irregular.get(w)).getOrElse {
+    irregular.get(w).getOrElse {
       if (w.endsWith("ies") && w.length > 4) w.dropRight(3) + "y"
       else if (w.endsWith("sses") || w.endsWith("shes") || w.endsWith("ches") ||
         w.endsWith("xes") || w.endsWith("zes")) w.dropRight(2)

@@ -388,7 +388,9 @@ final class TimeDetector(entityName: String = "time",
   private val restricted24 = Pattern.compile(
     raw"\b(\d{1,2})\s?(?:hrs|hours)\b")
   // prefix word + bare 12h hour, meridiem from a daytime word elsewhere in
-  // the message (_detect_12_hour_word_format2, time_detection.py:1165-1224)
+  // the message (_detect_12_hour_word_format2, time_detection.py:1165-1224).
+  // Reference-bug parity: the reference pattern has NO leading \b either,
+  // so 'chat 9 ... morning' matches the 'at 9' inside 'chat' there too.
   private val prefixHourWord = Pattern.compile(
     raw"((?:by|before|after|at|on|dot|exactly|exact)[\s-]*(0?[1-9]|1[0-2]))\b")
   // reference word probes require a preceding whitespace char (\s(word)),

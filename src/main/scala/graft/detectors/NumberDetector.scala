@@ -84,8 +84,12 @@ final class NumberDetector(
         else (null, 0L, null)
       if (numStr != null && numStr.nonEmpty && numStr != "." && originalRaw.nonEmpty) {
         val value: String =
-          if (!numStr.contains('.')) (numStr.toLong * scale).toString
-          else {
+          if (!numStr.contains('.')) {
+            // BigInt: python's int() is unbounded and range engines run
+            // with maxDigits=100 — a >18-digit run must not throw
+            if (numStr.length <= 18) (numStr.toLong * scale).toString
+            else (BigInt(numStr) * scale).toString
+          } else {
             val v = numStr.toDouble * scale
             if (v.isWhole) v.toLong.toString else v.toString
           }

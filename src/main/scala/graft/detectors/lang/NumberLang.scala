@@ -123,8 +123,18 @@ object NumberDetectors {
       entityName: String = "number", minDigits: Int = 1,
       maxDigits: Int = 6): NumberDetection = lang match {
     case "en" =>
-      new NumberDetector(entityName, Map.empty, minDigits, maxDigits)
+      // word map stays the hardcoded NumberWords.en (CSV + misspelling
+      // variants); units come from the en CSV under the same
+      // only-with-unit_type gate as every other language
+      val units = unitType match {
+        case Some(ut) => NumberLangData.unitsMap("en", Some(ut))
+        case None => Map.empty[String, String]
+      }
+      new NumberDetector(entityName, units, minDigits, maxDigits)
     case "zh-TW" | "zh" =>
+      // reference parity: the zh detector never consults units —
+      // _detect_number_from_text hardcodes unit None
+      // (number/zh-TW/number_detection.py:128-135)
       new ChineseNumberDetector(entityName, minDigits, maxDigits)
     case l =>
       val t = NumberLangData.tables(l)
@@ -150,7 +160,11 @@ object NumberRangeDetectors {
   def forLanguage(lang: String, unitType: Option[String] = None,
       entityName: String = "number_range"): graft.detectors.NumberRangeDetector =
     lang match {
-      case "en" => new graft.detectors.NumberRangeDetector(entityName)
+      case "en" =>
+        new graft.detectors.NumberRangeDetector(entityName,
+          numberDetectorOverride = Some(NumberDetectors.forLanguage(
+            "en", unitType, entityName, minDigits = 1, maxDigits = 100)),
+          requireUnit = unitType.isDefined)
       case l =>
         new graft.detectors.NumberRangeDetector(entityName,
           keywords = graft.detectors.RangeKeywords.fromTable(

@@ -108,12 +108,14 @@ object functions {
     * sized; refuse tables that clearly aren't one.
     */
   def lemmatize_with(table: org.apache.spark.sql.DataFrame,
-      maxEntries: Long = 5000000L): Column => Column = {
+      maxEntries: Int = 5000000): Column => Column = {
     val spark = table.sparkSession
-    require(table.count() <= maxEntries,
+    // single bounded fetch: one extra row past the cap proves the guard
+    // without a separate count job or an unbounded collect
+    val rows = table.limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
       s"lemma table exceeds $maxEntries entries — not a vocabulary table")
-    val m = table.collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val m = rows.map(r => r.getString(0) -> r.getString(1)).toMap
     val bc = spark.sparkContext.broadcast(m)
     val u = org.apache.spark.sql.functions.udf((tokens: Seq[String]) =>
       if (tokens == null) null

@@ -135,6 +135,18 @@ class DateTimeSpec extends AnyFunSuite {
     assert(times("be there by 4:30 oclock") == Seq((4, 30, "pm")))
   }
 
+  test("detect_times_at column wrapper honors the reference clock") {
+    // pure-JVM check of the clock plumbing (the udf wraps this detector)
+    val morning = new TimeDetector(
+      referenceTime = java.time.LocalDateTime.of(2026, 1, 15, 5, 33))
+    assert(morning.detect("reach by 6:20 please")
+      .map(t => (t.hh, t.mm, t.nn)) == Seq((6, 20, "am"))) // ref docstring
+    val tdAt = new TimeDetector(
+      referenceTime = java.time.LocalDateTime.of(2026, 1, 15, 12, 30))
+    assert(tdAt.detect("lets meet at 1:45 today")
+      .map(t => (t.hh, t.mm, t.nn)) == Seq((1, 45, "pm"))) // ref docstring
+  }
+
   test("prefix word + bare hour with daytime words (ref word format2)") {
     assert(times("come at 8 in the morning") == Seq((8, 0, "am")))
     assert(times("on 12 night we leave") == Seq((12, 0, "am")))

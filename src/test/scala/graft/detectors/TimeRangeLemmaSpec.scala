@@ -72,10 +72,12 @@ class TimeRangeLemmaSpec extends AnyFunSuite {
   test("dictionary-first lemmatization: supplied table beats the rules") {
     // a caller table (WordNet-exception-style) overrides both the suffix
     // rules and the built-in irregulars; unlisted words fall through
-    val table = Map("better" -> "good", "went" -> "wend", "oxen" -> "ox")
+    val table = Map("better" -> "good", "went" -> "wend", "oxen" -> "ox",
+      "is" -> "be")
     assert(Lemmatizer.lemma("better", table) == "good")
     assert(Lemmatizer.lemma("went", table) == "wend") // table wins
     assert(Lemmatizer.lemma("oxen", table) == "ox")
+    assert(Lemmatizer.lemma("is", table) == "be") // beats the length guard
     assert(Lemmatizer.lemma("running", table) == "run") // fallback rules
     assert(Lemmatizer.lemmatize(Array("better", "cities"), table).toSeq ==
       Seq("good", "city"))
