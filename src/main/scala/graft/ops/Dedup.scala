@@ -202,14 +202,34 @@ object Dedup {
     val bucketed = Similarity.withSrpBucket(df, vecCol, dim, nBits, seed)
       .select(col(idCol).as("_id"), col("srp_bucket"), col(vecCol).as("_v"))
     val wB = Window.partitionBy("srp_bucket")
+    // materialized once: the self-join would otherwise re-run the bucket
+    // UDF + cap window on BOTH branches (same trick as minHashLsh's
+    // candidate materialization)
     val capped = bucketed.withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
+      .localCheckpoint(true)
     val a = capped.select(col("srp_bucket"), col("_id").as("idA"), col("_v").as("va"))
     val b = capped.select(col("srp_bucket"), col("_id").as("idB"), col("_v").as("vb"))
+    // compiled UDF, not the aggregate/zip_with column expression: Spark
+    // evaluates higher-order functions INTERPRETED per element, which
+    // dominates at pair volume. The while-loop sums left-to-right exactly
+    // like the fold (0.0 + x0 ≡ x0 in IEEE), so DuckDB bit-parity holds.
+    val cosU = udf { (va: Seq[Float], vb: Seq[Float]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(va.length, vb.length)
+      while (i < n) {
+        val x = va(i).toDouble; val y = vb(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0) dot / nn else 0.0
+    }
     a.join(b, Seq("srp_bucket"))
       .filter(col("idA") < col("idB"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", cosU(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
       .select("idA", "idB", "cosine")
   }
