@@ -45,16 +45,16 @@ object Dedup {
         count(lit(1)).as("n_duplicates"))
 
   /** Word shingles (n-gram strings) of the nonempty whitespace tokens — the
-    * input to MinHash / Jaccard. Pure column expression (codegen'd, no UDF).
-    * Tokenization matches `shinglesOf` and the DuckDB oracle exactly:
-    * split on \s+, drop empty tokens, distinct n-grams joined by ' '.
+    * input to MinHash / Jaccard. Compiled UDF over the JVM kernel: Spark
+    * evaluates higher-order-function expressions (transform/slice/
+    * array_join) INTERPRETED per element, which dominated the verify join;
+    * the kernel produces byte-identical shingle strings (split on \s+,
+    * drop empties, order-preserving distinct n-grams joined by ' ' — the
+    * contract the DuckDB oracle replays).
     */
   def shingles(textCol: Column, n: Int): Column = {
-    val toks = filter(split(textCol, "\\s+"), t => t =!= "")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    val u = udf((s: String) => shinglesOf(s, n))
+    u(textCol)
   }
 
   /** JVM twin of [[shingles]] for single-pass UDFs. */
