@@ -108,6 +108,7 @@ object Bench {
   private var contract: Seq[(String, Double, String)] = Seq.empty
   private val phasesDone = scala.collection.mutable.ArrayBuffer.empty[String]
   @volatile private var lastJson: String = ""
+  @volatile private var lastCompact: String = ""
   @volatile private var finalEmitted = false
 
   private def stagesJson(t: Trial): String =
@@ -160,7 +161,48 @@ object Bench {
         s""""budget_sec":${n(budgetSec)},"elapsed_sec":${n(elapsedSec)}}"""
     lastJson = line
     println(line)
+    // The driver captures only the LAST ~2.3 KB of stdout (and sbt appends a
+    // trailing "[success] ..." line); r1-r3's full-schema line above grew
+    // past that window once 5 trial pairs + two 32-query maps were inlined,
+    // so its head was chopped and nothing parsed. Readers take the last
+    // parseable line, so ALWAYS follow the full record with one compact
+    // headline-only line that fits the window with headroom.
+    lastCompact = compactJson(partial, total)
+    println(lastCompact)
     System.out.flush()
+  }
+
+  /** Headline-only record (≤ ~1 KB): same metric/value/unit/sf contract
+    * fields, index-build + latency summaries flattened, per-query map
+    * replaced by ok/err counts (full detail lives in the preceding
+    * full-schema line and in PROGRESS evidence).
+    */
+  private def compactJson(partial: Boolean, total: Double): String = {
+    val ib =
+      if (t8s.isEmpty || t2s.isEmpty) "null"
+      else {
+        val best8 = t8s.minBy(_.sec)
+        val best2 = t2s.minBy(_.sec)
+        val thr8 = scaleDocs / best8.sec
+        val thr2 = scaleDocs / best2.sec
+        s"""{"docs":$scaleDocs,"n_cores":2,"fourn_cores":8,""" +
+          s""""n_sec":${n(best2.sec)},"fourn_sec":${n(best8.sec)},""" +
+          s""""n_docs_per_sec":${n(thr2)},"fourn_docs_per_sec":${n(thr8)},""" +
+          s""""scaling_efficiency":${n((thr8 / thr2) / 4.0)},""" +
+          s""""trials_n":${t2s.length},"trials_fourn":${t8s.length}}"""
+      }
+    val lat = latency match {
+      case Some((p50, p95, qps)) =>
+        s"""{"p50":${n(p50)},"p95":${n(p95)},"qps":${n(qps)}}"""
+      case None => "null"
+    }
+    val nOk = contract.count(_._3 == "ok")
+    val nErr = contract.length - nOk
+    s"""{"metric":"total","value":${n(total)},"unit":"sec","compact":true,""" +
+      s""""sf":${jstr(sfDir)},"index_build":$ib,"query_latency_ms":$lat,""" +
+      s""""queries_ok":$nOk,"queries_err":$nErr,""" +
+      s""""n_phases_done":${phasesDone.length},"partial":$partial,""" +
+      s""""budget_sec":${n(budgetSec)},"elapsed_sec":${n(elapsedSec)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,10 +216,11 @@ object Bench {
     budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2250").toDouble
 
     // a SIGTERM (e.g. an external `timeout`) still flushes the freshest
-    // snapshot: shutdown hooks run on TERM, and re-printing the last line
-    // is harmless (readers take the last parseable line)
+    // snapshot: shutdown hooks run on TERM, and re-printing is harmless
+    // (readers take the last parseable line). Re-print the COMPACT line —
+    // the full-schema line can exceed the driver's tail-capture window.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (lastJson.nonEmpty) { println(lastJson); System.out.flush() }
+      if (lastCompact.nonEmpty) { println(lastCompact); System.out.flush() }
     }))
 
     val queriesForLatency = Seq(

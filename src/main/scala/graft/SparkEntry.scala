@@ -36,6 +36,22 @@ object EntryOps {
     dir
   }
 
+  /** Whitespace-analyzer index over the same corpus: every stage of BM25
+    * over it (tokenize → tf → df → idf → tfWeight → lexicographic-order
+    * summation) is DuckDB-expressible, which upgrades q_bm25_topk from a
+    * rows-only check to a full hash-checked oracle. The standard
+    * (Porter-stemmed) index keeps serving entry/q_bm25_fuzzy/bench.
+    */
+  def wsIndexFor(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"/tmp/graft_idx_ws_$key"
+    IndexBuilder.buildIfAbsent(
+      documentsAsCorpus(spark, sfDir), dir,
+      IndexConfig(numBuckets = 16, saltThreshold = 1000L, maxSalts = 16,
+        analyzer = graft.analyzer.Analyzers.Whitespace))
+    dir
+  }
+
   /** Engine hits joined back to documents ids: (rank, doc_id, score). */
   def bm25TopK(spark: SparkSession, sfDir: String, query: String, k: Int,
       fuzzy: Boolean): DataFrame = {
@@ -397,9 +413,75 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- engine-native (rows-only: verified by in-repo oracle tests) ----
-    "q_bm25_topk" -> ((s, d) => bm25TopK(s, d, "spark merge query window", 100, fuzzy = false)),
+    // ---- BM25 through the real engine (index build + WAND + resolve),
+    // ---- DuckDB-replayed end-to-end on the whitespace-analyzer index ----
+    "q_bm25_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = wsIndexFor(s, d)
+      // k chosen >= every match (WAND only emits docs hitting >= 1 term),
+      // so the returned SET is tie-free by construction; ORDER is then
+      // re-keyed on (quantized score, doc_id) — deterministic in any
+      // engine, immune to the internal-docId tie-break inside WAND
+      val hits = Searcher.search(s, dir, BmTopkQuery, 100000, fuzzy = false)
+      Searcher.resolveHits(s, dir, hits)
+        .select(col("path").cast("long").as("doc_id"),
+          round(col("score") * 1e6).cast("long").as("score_q"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score_q"), col("doc_id"))).cast("int"))
+        .orderBy("rank")
+    }),
+    // engine-native (rows-only: verified by in-repo WAND/exact parity)
     "q_bm25_fuzzy" -> ((s, d) => bm25TopK(s, d, "sprak mrege qurey", 50, fuzzy = true)))
+
+  private val BmTopkQuery = "spark merge query window"
+
+  /** DuckDB SQL replaying q_bm25_topk end-to-end: whitespace tokens (the
+    * ws-index analyzer == regexp_split_to_array minus empties), per-term
+    * tf/df, Lucene-BM25 idf ln(1 + (n-df+.5)/(df+.5)), b=0 tfWeight
+    * tf*(k1+1)/(tf+k1), contributions summed in lexicographic term order
+    * (the engine's shared summation contract — 0.0-seeded left fold ==
+    * plain left-assoc + chain since every contribution is >= 0). Scores are
+    * emitted quantized (round(score*1e6) as BIGINT); ln() is the only
+    * cross-engine arithmetic risk and sits ~1e9 above the quantization
+    * step. Ordering re-keys on (score_q, doc_id) on BOTH sides.
+    */
+  private def bm25WsOracle(query: String, k1: Double, k: Int): String = {
+    val terms = query.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
+    val k1s = k1.toString
+    val k1p1 = (k1 + 1.0).toString
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS INT) AS tf_$i")
+      .mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"(SELECT COUNT(*) FROM tf WHERE tf_$i > 0) AS df_$i").mkString(",\n    ")
+    val contribs = terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         |      ln(1.0 + (CAST(n - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         |      * ((CAST(tf_$i AS DOUBLE) * $k1p1) / (CAST(tf_$i AS DOUBLE) + $k1s))
+         |    ELSE 0.0 END)""".stripMargin
+    }.mkString("\n    + ")
+    val anyMatch = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id,
+       |    $tfCols
+       |  FROM tk),
+       |st AS (
+       |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+       |    $dfCols),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $contribs AS score
+       |  FROM tf, st
+       |  WHERE $anyMatch)
+       |SELECT CAST(ROW_NUMBER() OVER (
+       |    ORDER BY CAST(round(score * 1e6) AS BIGINT) DESC, doc_id) AS INT) AS rank,
+       |  doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_q
+       |FROM scored ORDER BY rank LIMIT $k""".stripMargin
+  }
 
   /** DuckDB SQL replaying q_minhash_pairs end-to-end: same tokenization,
     * same md5-lower-64 base hash, same derived-constant family (32x64-bit
@@ -736,6 +818,7 @@ object SparkEntry {
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64, limit = 50),
     "q_simhash_pairs" -> simhashOracle(maxHamming = 8, limit = 50,
       maxBucketSize = 64),
+    "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2, k = 100000),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),
     "q_embed_neardup" -> embedNearDupOracle(dim = 64, nBits = 6, seed = 42L,
       minCosine = 0.3, maxBucketSize = 256),

@@ -26,7 +26,10 @@ final case class IndexConfig(
     b: Double = 0.0,
     /** doc shards for dense docId assignment (docId = shard << 40 | rank);
       * fixed per index — determinism depends on config, not parallelism */
-    docShards: Int = 64)
+    docShards: Int = 64,
+    /** named analyzer (graft.analyzer.Analyzers) applied at index AND query
+      * time — recorded in the manifest so readers stay symmetric */
+    analyzer: String = graft.analyzer.Analyzers.Standard)
 
 /** One stored posting shard: the postings of `term` restricted to docs whose
   * salt (mix64(docId) & (numSalts-1)) equals `salt`, delta-gap varbyte
@@ -353,6 +356,7 @@ object IndexBuilder {
     // ids, so corpus content is read and materialized exactly once.
     if (!done(docsDir)) timed("stage1 docs") {
       val docShards = cfg.docShards
+      val analyzerName = cfg.analyzer
       corpus
         .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"))
         .repartition(docShards, col("repo"), col("path"), col("commit"))
@@ -368,7 +372,7 @@ object IndexBuilder {
             md.reset()
             val sha = toHex(
               md.digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-            val tfs = graft.analyzer.Analyzer.termFrequencies(content)
+            val tfs = graft.analyzer.Analyzers.termFrequencies(analyzerName, content)
             var doclen = 0
             var j = 0
             while (j < tfs.length) { doclen += tfs(j)._2; j += 1 }
@@ -449,7 +453,8 @@ object IndexBuilder {
     val meta = SnapshotMeta(version, n, avgdl, cfg.numBuckets,
       cfg.saltThreshold, cfg.maxSalts, cfg.k1, cfg.b, fp, hotTerms,
       sizedShards = if (sizing.isNullAt(0)) 0L else sizing.getLong(0),
-      sizedPostingBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1))
+      sizedPostingBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1),
+      analyzer = cfg.analyzer)
     Snapshot.commit(indexDir, meta)
     meta
   }
@@ -492,7 +497,7 @@ object IndexBuilder {
     if (prevOpt.isEmpty) return build(newCorpus, indexDir, cfg, None, onStageTime)
     val prev = prevOpt.get
     require(prev.numBuckets == cfg.numBuckets && prev.maxSalts == cfg.maxSalts &&
-      prev.k1 == cfg.k1 && prev.b == cfg.b,
+      prev.k1 == cfg.k1 && prev.b == cfg.b && prev.analyzer == cfg.analyzer,
       "delta builds must use the snapshot's own IndexConfig")
     val spark = newCorpus.sparkSession
     import spark.implicits._
@@ -524,6 +529,7 @@ object IndexBuilder {
         .as[(Long, Long)].collect().toMap
       val offsetsB = spark.sparkContext.broadcast(offsets)
       val docShards = cfg.docShards
+      val analyzerName = cfg.analyzer
       val fresh = newCorpus
         .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"))
         .dropDuplicates("repo", "path", "commit")
@@ -544,7 +550,7 @@ object IndexBuilder {
             md.reset()
             val sha = toHex(
               md.digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-            val tfs = graft.analyzer.Analyzer.termFrequencies(content)
+            val tfs = graft.analyzer.Analyzers.termFrequencies(analyzerName, content)
             var doclen = 0
             var j = 0
             while (j < tfs.length) { doclen += tfs(j)._2; j += 1 }
@@ -616,7 +622,8 @@ object IndexBuilder {
       cfg.saltThreshold, cfg.maxSalts, cfg.k1, cfg.b, fp, hotTerms,
       baseVersions = prev.allVersions,
       sizedShards = if (sizing.isNullAt(0)) 0L else sizing.getLong(0),
-      sizedPostingBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1))
+      sizedPostingBytes = if (sizing.isNullAt(1)) 0L else sizing.getLong(1),
+      analyzer = cfg.analyzer)
     Snapshot.commit(indexDir, meta)
     meta
   }

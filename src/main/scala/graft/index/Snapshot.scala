@@ -37,7 +37,12 @@ final case class SnapshotMeta(
       * recorded (older manifest) → readers fall back to the probe.
       */
     sizedShards: Long = -1L,
-    sizedPostingBytes: Long = -1L) {
+    sizedPostingBytes: Long = -1L,
+    /** Analyzer name the index was built with (Analyzers registry); readers
+      * MUST analyze queries with the same name. Older manifests default to
+      * `standard` — exactly what they were built with.
+      */
+    analyzer: String = "standard") {
 
   def docsDir(indexDir: String) = s"$indexDir/v$version/docs"
   def segmentsDir(indexDir: String) = s"$indexDir/v$version/segments"
@@ -69,6 +74,7 @@ final case class SnapshotMeta(
       s""""maxSalts":$maxSalts,"k1":$k1,"b":$b,""" +
       s""""corpusFingerprint":$corpusFingerprint,""" +
       s""""sizedShards":$sizedShards,"sizedPostingBytes":$sizedPostingBytes,""" +
+      s""""analyzer":${q(analyzer)},""" +
       s""""baseVersions":$bases,"hotTerms":$hot}"""
   }
 }
@@ -192,7 +198,8 @@ object Snapshot {
       baseVersions = bases,
       sizedShards = fieldOpt("sizedShards").map(_.trim.toLong).getOrElse(-1L),
       sizedPostingBytes =
-        fieldOpt("sizedPostingBytes").map(_.trim.toLong).getOrElse(-1L))
+        fieldOpt("sizedPostingBytes").map(_.trim.toLong).getOrElse(-1L),
+      analyzer = fieldOpt("analyzer").map(unq).getOrElse("standard"))
   }
 
   def listVersions(indexDir: String): Seq[Int] = {

@@ -57,7 +57,10 @@ final class IndexReader private (
   // ---- term resolution ----
 
   def resolve(queryText: String, fuzzy: Boolean = false): Searcher.ResolvedQuery = {
-    val tokens = Analyzer.analyze(queryText).distinct.sorted.toSeq
+    // analyze with the INDEX's analyzer (manifest-recorded) — the
+    // index/query symmetry invariant, now per-snapshot
+    val tokens = graft.analyzer.Analyzers.analyze(meta.analyzer, queryText)
+      .distinct.sorted.toSeq
     val terms: Seq[Searcher.TermStats] =
       if (tokens.isEmpty) Seq.empty
       else if (!fuzzy) lookup(tokens)
