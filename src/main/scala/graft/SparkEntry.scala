@@ -316,6 +316,14 @@ object SparkEntry {
       val model = Similarity.IvfModel(
         s.read.parquet(s"$ivfDir/centroids").orderBy("cluster")
           .select("centroid").as[Seq[Float]].collect().map(_.toArray))
+      // sidecar for the DuckDB oracle: the trained centroids as exact
+      // Float.toString literals (training is parallelism-deterministic, so
+      // these ARE the values the stored table was assigned with);
+      // oracleSqlFor reads this back to generate the replay SQL
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$ivfDir/centroids.txt"),
+        model.centroids.map(_.map(_.toString).mkString(","))
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Similarity.ivfKnn(s.read.parquet(s"$ivfDir/table"), "embedding",
         "vec_id", model, qv, 10, nprobe = 3)
     }),
@@ -676,10 +684,14 @@ object SparkEntry {
 
   /** DuckDB SQL replaying q_embed_neardup: same SRP buckets (shared
     * hyperplane literals via lshOracle's generator pieces), same bucket
-    * cap, exact-cosine verify with explicit-order folds.
+    * cap, exact-cosine verify with explicit-order folds. The Spark side's
+    * 1-bit probe ring (home bucket + every 1-bit flip, joined against home
+    * buckets) admits exactly the capped pairs with bucket Hamming distance
+    * <= probeHamming — expressed here directly as a bit_count(xor(..))
+    * predicate over the capped set: the same pair set.
     */
   private def embedNearDupOracle(dim: Int, nBits: Int, seed: Long,
-      minCosine: Double, maxBucketSize: Int): String = {
+      minCosine: Double, maxBucketSize: Int, probeHamming: Int): String = {
     val model = graft.ops.Similarity.SrpModel(dim, nBits, seed)
     val fold = SrpSql.fold(dim) _
     val bucketExpr = SrpSql.bucketExpr(model, dim)
@@ -697,7 +709,8 @@ object SparkEntry {
        |  SELECT a.vec_id AS idA, b.vec_id AS idB,
        |    a.embedding AS ea, b.embedding AS eb
        |  FROM capped a JOIN capped b
-       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |    ON bit_count(xor(a.bucket, b.bucket)) <= $probeHamming
+       |    AND a.vec_id < b.vec_id),
        |scored AS (
        |  SELECT idA, idB, $dotAB AS dot, sqrt($nrmA) * sqrt($nrmB) AS nn
        |  FROM pairs p)
@@ -708,10 +721,82 @@ object SparkEntry {
        |ORDER BY idA, idB""".stripMargin
   }
 
-  /** DuckDB oracles. Tables are registered under their bare names; column
-    * names and ORDER BY mirror the Spark side exactly.
+  /** DuckDB SQL replaying q_ivf_ann end-to-end from the trained centroids
+    * (exported by the query as exact round-trip literals — training is
+    * parallelism-deterministic, the q_lsh_ann playbook applied to IVF):
+    *  - cluster assignment replays IvfModel.assign — per-coordinate FLOAT
+    *    subtraction (exact double difference rounded to FLOAT == Scala's
+    *    `v(i) - c(i)` on Floats), squared in DOUBLE, summed in array order
+    *    (list_reduce left fold), argmin with ties to the smaller cluster;
+    *  - probes replay IvfModel.probes: the nprobe centroids nearest the
+    *    query vector by the same dist2, ties to the smaller id;
+    *  - candidates = rows assigned to a probed cluster; exact cosine with
+    *    explicit-order folds, ordered (score DESC, vec_id), top k.
     */
-  def oracleSql: Map[String, String] = Map(
+  private def ivfOracle(centroids: Array[Array[Float]], dim: Int,
+      nprobe: Int, k: Int): String = {
+    val fold = SrpSql.fold(dim) _
+    val centRows = centroids.zipWithIndex.map { case (cv, i) =>
+      val lits = cv.map(x => SrpSql.dl(x.toDouble)).mkString("[", ", ", "]")
+      s"($i, $lits)"
+    }.mkString(",\n    ")
+    val dterm = "CAST(CAST(CAST(e.embedding[i] AS DOUBLE) - c.cv[i] AS FLOAT) AS DOUBLE)"
+    val d2 = fold(s"$dterm * $dterm")
+    val dotQ = fold("CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)")
+    val nrm2C = fold("CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)")
+    val nrm2Q = fold("CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)")
+    s"""WITH cent AS (
+       |  SELECT * FROM (VALUES
+       |    $centRows) AS t(c, cv)),
+       |d2 AS (
+       |  SELECT e.vec_id, c.c, $d2 AS d
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, c AS cluster FROM (
+       |    SELECT vec_id, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM d2) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT c FROM d2 WHERE vec_id = 0 ORDER BY d, c LIMIT $nprobe),
+       |cand AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  JOIN assigned a ON a.vec_id = e.vec_id
+       |  WHERE a.cluster IN (SELECT c FROM probes)),
+       |scored AS (
+       |  SELECT c.vec_id, $dotQ AS dot, sqrt($nrm2C) * sqrt($nrm2Q) AS nn
+       |  FROM cand c, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q)
+       |SELECT vec_id,
+       |  CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END AS score
+       |FROM scored ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Oracles for a specific sf dir: the static map plus data-dependent
+    * entries whose parameters are exported by the matching contract query
+    * (q_ivf_ann's trained centroids). Verify calls this AFTER running the
+    * queries, so the sidecar exists; if it does not (query skipped or
+    * failed), the entry is simply omitted and the driver records the
+    * weaker rows-only check instead of a false mismatch.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val ivfDir = s"/tmp/graft_ivf_k16i4_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val sidecar = java.nio.file.Paths.get(s"$ivfDir/centroids.txt")
+    val ivf: Map[String, String] =
+      if (!java.nio.file.Files.exists(sidecar)) Map.empty
+      else {
+        val cents = new String(java.nio.file.Files.readAllBytes(sidecar),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").map(_.split(",").map(_.toFloat))
+        Map("q_ivf_ann" -> ivfOracle(cents, dim = 64, nprobe = 3, k = 10))
+      }
+    staticOracleSql ++ ivf
+  }
+
+  /** DuckDB oracles (driver contract). Tables are registered under their
+    * bare names; column names and ORDER BY mirror the Spark side exactly.
+    */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -821,7 +906,7 @@ object SparkEntry {
     "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2, k = 100000),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),
     "q_embed_neardup" -> embedNearDupOracle(dim = 64, nBits = 6, seed = 42L,
-      minCosine = 0.3, maxBucketSize = 256),
+      minCosine = 0.3, maxBucketSize = 256, probeHamming = 1),
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (

@@ -189,16 +189,23 @@ object Dedup {
     * and candidates within a bucket verify with EXACT cosine against the
     * threshold. Returns (idA, idB, cosine) with idA < idB.
     *
-    * Recall is the standard LSH trade-off: only pairs sharing a bucket are
-    * candidates (raise nBits for precision, lower for recall — or probe
-    * neighboring buckets like lshKnn). Every arithmetic step is an
-    * explicit-order double fold, so the DuckDB oracle replays it
-    * bit-identically.
+    * Recall: a pair whose vectors straddle one SRP hyperplane lands in
+    * buckets at Hamming distance 1 and would be invisible to exact-bucket
+    * blocking. `probeHamming = 1` (default) closes that: each row is ALSO
+    * emitted under every 1-bit-flip neighbor bucket (the lshKnn probe
+    * pattern), and candidates join probe-bucket-of-A == home-bucket-of-B —
+    * exactly the pairs with bucket Hamming distance <= probeHamming, each
+    * matched once (the probe set has distinct buckets). `probeHamming = 0`
+    * is the old exact-bucket blocking. The width cap applies to HOME
+    * buckets before expansion, so the fan-out stays <= (nBits+1) x capped
+    * rows. Every arithmetic step is an explicit-order double fold, so the
+    * DuckDB oracle replays it bit-identically.
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, nBits: Int = 6, seed: Long = 42L, minCosine: Double = 0.3,
-      maxBucketSize: Int = 256): DataFrame = {
+      maxBucketSize: Int = 256, probeHamming: Int = 1): DataFrame = {
     import graft.ops.Similarity
+    require(probeHamming <= 1, "probe ring supports Hamming <= 1")
     val bucketed = Similarity.withSrpBucket(df, vecCol, dim, nBits, seed)
       .select(col(idCol).as("_id"), col("srp_bucket"), col(vecCol).as("_v"))
     val wB = Window.partitionBy("srp_bucket")
@@ -209,7 +216,13 @@ object Dedup {
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
       .localCheckpoint(true)
-    val a = capped.select(col("srp_bucket"), col("_id").as("idA"), col("_v").as("va"))
+    val probeCols: Seq[Column] =
+      col("srp_bucket") +: (if (probeHamming >= 1)
+        (0 until nBits).map(b => col("srp_bucket").bitwiseXOR(lit(1L << b)))
+      else Seq.empty)
+    val a = capped
+      .select(explode(array(probeCols: _*)).as("srp_bucket"),
+        col("_id").as("idA"), col("_v").as("va"))
     val b = capped.select(col("srp_bucket"), col("_id").as("idB"), col("_v").as("vb"))
     // compiled UDF, not the aggregate/zip_with column expression: Spark
     // evaluates higher-order functions INTERPRETED per element, which

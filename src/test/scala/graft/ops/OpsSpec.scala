@@ -116,6 +116,57 @@ class OpsSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("embedding near-dup probe ring recovers pairs across one hyperplane") {
+    // plant a pair whose vectors sit on OPPOSITE sides of exactly one SRP
+    // hyperplane (bucket Hamming distance 1) yet are near-identical in
+    // cosine: reflect a random vector across its most-incident hyperplane
+    // (v' = v - 2 proj/|h|^2 h negates that one projection; reflection
+    // preserves |v|, and a near-incident plane moves v very little)
+    val dim = 16
+    val nBits = 4
+    val seed = 42L
+    val model = Similarity.SrpModel(dim, nBits, seed)
+    val rnd = new scala.util.Random(11)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val planted: (Array[Float], Array[Float]) = Iterator
+      .continually(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      .map { v =>
+        val projs = (0 until nBits).map { b =>
+          (0 until dim).map(i => v(i).toDouble * model.hyperplanes(b)(i)).sum
+        }
+        val b = projs.indices.minBy(i => math.abs(projs(i)))
+        val h = model.hyperplanes(b)
+        val h2 = h.map(x => x * x).sum
+        val v2 = Array.tabulate(dim)(i =>
+          (v(i) - 2.0 * projs(b) / h2 * h(i)).toFloat)
+        (v, v2)
+      }
+      .find { case (v, v2) =>
+        java.lang.Long.bitCount(model.bucketOf(v) ^ model.bucketOf(v2)) == 1 &&
+          cosine(v, v2) >= 0.95
+      }.get
+    val vecs = ((0L, planted._1) +: (1L, planted._2) +: (2L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      dim, nBits = nBits, seed = seed, minCosine = 0.9, probeHamming = 0)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(!exact.contains((0L, 1L)),
+      "planted pair must straddle a bucket boundary (else the test is vacuous)")
+    val probed = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      dim, nBits = nBits, seed = seed, minCosine = 0.9, probeHamming = 1)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(probed.contains((0L, 1L)))
+    // the ring only ADDS candidates: exact-bucket pairs all survive
+    assert(exact.subsetOf(probed))
+  }
+
   test("brute knn cosine: self is top hit with score 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
