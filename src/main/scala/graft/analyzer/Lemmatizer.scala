@@ -30,8 +30,30 @@ object Lemmatizer {
 
   private val vowels = "aeiou".toSet
 
-  /** Lemmatize a lowercase word. */
-  def lemma(w: String): String = lemma(w, Map.empty)
+  /** Bundled starter lemma table (resources/graft/lang/lemma/en.csv —
+    * standard irregular verbs, irregular/Latin/Greek plurals,
+    * comparatives): the frequent-word subset a WordNet exception list
+    * covers, consulted by default so out-of-the-box behavior approaches
+    * WordNet on common words. Deployments with a full dictionary still
+    * pass their own table (functions.lemmatize_with) — caller tables take
+    * precedence over this one.
+    */
+  lazy val bundled: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/lang/lemma/en.csv")
+    if (in == null) Map.empty
+    else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .drop(1) // header
+        .filterNot(l => l.isEmpty || l.startsWith("#"))
+        .flatMap { l =>
+          val c = l.indexOf(',')
+          if (c <= 0) None else Some(l.substring(0, c) -> l.substring(c + 1))
+        }.toMap
+    } finally in.close()
+  }
+
+  /** Lemmatize a lowercase word (bundled table + irregulars + rules). */
+  def lemma(w: String): String = lemma(w, bundled)
 
   /** Dictionary-first lemmatization: a caller-supplied word→lemma table
     * (e.g. a WordNet exception list loaded from the user's own data,
@@ -44,6 +66,12 @@ object Lemmatizer {
     // table precedence is absolute — even for short words the length guard
     // would otherwise pass through untouched
     table.get(w) match {
+      case Some(l) => return l
+      case None =>
+    }
+    // bundled table backs up a caller table (checked before the length
+    // guard: it holds short irregulars like `am`/`ate`)
+    if (table ne bundled) bundled.get(w) match {
       case Some(l) => return l
       case None =>
     }

@@ -205,15 +205,37 @@ object Similarity {
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
       .withColumn("h", xxhash64(col("_id"), lit(seed)))
-    // TakeOrdered top-n (no full sort), re-spread so the iteration scans
-    // parallelize, then materialized so each iteration reads the sample —
-    // not the corpus — and the lineage doesn't re-run the top-n per pass
-    val train =
+    // Sample = the trainSample rows with the smallest (h, _id). A bare
+    // orderBy+limit pre-trims per partition but still funnels P x n rows
+    // through one merge task — at 100 TB (P ~ 1e5) that single-tasks the
+    // gather. Guard: xxhash64 is uniform, so pre-filter to h below a
+    // threshold sized for ~4x trainSample expected survivors (a pure
+    // function of the corpus count — parallelism-invariant), then top-n
+    // over that O(n) superset. The top-n RESULT is unchanged (the filter
+    // keeps every true top-n row unless fewer than trainSample survive —
+    // astronomically unlikely at 4x margin, and detected + fallen back on).
+    val train = {
+      val bounded =
+        if (trainSample <= 0) keyed
+        else {
+          val total = keyed.count()
+          if (total <= 4L * trainSample) keyed
+          else {
+            val frac = 4.0 * trainSample / total
+            val thresh = (Long.MinValue.toDouble + frac * 1.8446744073709552E19).toLong
+            val candidates = keyed.filter(col("h") < thresh)
+            if (candidates.count() >= trainSample) candidates else keyed
+          }
+        }
+      // TakeOrdered top-n (no full sort), re-spread so the iteration scans
+      // parallelize, then materialized so each iteration reads the sample —
+      // not the corpus — and the lineage doesn't re-run the top-n per pass
       (if (trainSample > 0)
-        keyed.orderBy("h", "_id").limit(trainSample.toInt)
+        bounded.orderBy("h", "_id").limit(trainSample.toInt)
           .repartition(spark.sparkContext.defaultParallelism)
-      else keyed)
+      else bounded)
         .localCheckpoint(true)
+    }
     val init: Array[Array[Float]] = train
       .orderBy("h", "_id")
       .limit(k)

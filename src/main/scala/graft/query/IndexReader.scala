@@ -116,9 +116,45 @@ final class IndexReader private (
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def fetchShards(rq: Searcher.ResolvedQuery):
+      Option[Seq[(String, Int, Int, Int, Array[Byte])]] =
+    fetchShardsByName(rq.terms.map(_.term))
+
+  /** Coordinator-tier bulk prewarm (J1): fetch ALL missing terms' shards in
+    * ONE pushdown job. A cold bulk call otherwise pays one narrow job per
+    * query that brings a novel term; prewarming the union term set first
+    * makes the whole batch cost one job. No-op on the driver-cached tier
+    * (everything is already local) and when the shard cache is disabled.
+    * Terms beyond the byte budget simply stay uncached (their queries fall
+    * back to scatter-gather, as ever).
+    */
+  def prewarmShards(terms: Seq[String]): Unit =
+    if (segMap.isEmpty && cfg.maxQueryShardCacheBytes > 0)
+      fetchShardsByName(terms.distinct)
+
+  /** All shard rows (term, salt, numSalts, maxTf, postings) for `terms`,
+    * driver-local, if this reader can serve them without a per-query job:
+    * from the in-memory segment map on the cached tier, else through the
+    * (prewarmed) shard cache within its byte budget. None → caller should
+    * use the distributed path.
+    */
+  private[graft] def bulkShards(terms: Seq[String]):
+      Option[Seq[(String, Int, Int, Int, Array[Byte])]] = {
+    val distinct = terms.distinct
+    segMap match {
+      case Some(m) =>
+        val tset = distinct.toSet
+        Some(m.toSeq.collect { case ((t, salt), shards) if tset(t) =>
+          shards.map(s => (t, salt, s.numSalts, s.maxTf, s.postings))
+        }.flatten)
+      case None if cfg.maxQueryShardCacheBytes > 0 => fetchShardsByName(distinct)
+      case None => None
+    }
+  }
+
+  private def fetchShardsByName(termNames: Seq[String]):
       Option[Seq[(String, Int, Int, Int, Array[Byte])]] = {
     import spark.implicits._
-    val missing = rq.terms.map(_.term).filterNot(shardCache.contains)
+    val missing = termNames.filterNot(shardCache.contains)
     if (missing.nonEmpty) {
       val fetched = segsDs
         .filter(col("term").isin(missing: _*))
@@ -148,8 +184,8 @@ final class IndexReader private (
         }
       }
     }
-    val all = rq.terms.flatMap(t => shardCache.get(t.term))
-    if (all.length == rq.terms.length) Some(all.flatten) else None
+    val all = termNames.flatMap(shardCache.get)
+    if (all.length == termNames.length) Some(all.flatten) else None
   }
 
   def searchHits(rq: Searcher.ResolvedQuery, k: Int): Array[Hit] = {

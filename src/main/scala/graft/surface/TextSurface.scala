@@ -199,16 +199,31 @@ object TextSurface {
       .flatMap { case (rq, i) => rq.terms.map(t => (i, t.term)) }
       .toDF("msgId", "term")
 
-    val contributions = graft.index.IndexSchemas
-      .readSegments(spark, meta.segmentsDirs(storeDir))
-      .filter(col("term").isin(termNames: _*))
-      .select("term", "postings").as[(String, Array[Byte])]
-      .flatMap { case (term, postings) =>
-        PostingCodec.decode(postings).iterator
-          .map(p => (p.docId, term,
-            idfB.value(term) * bm25.tfWeight(p.tf, bm25.normOf(p.doclen, meta.avgDocLen))))
-      }
-      .toDF("docId", "term", "contrib")
+    // J1 prewarm: ONE pushdown job fetches the union term set's shards into
+    // the reader's byte-budgeted cache; contributions then decode
+    // driver-side with zero further segment jobs (repeat bulk calls over
+    // warm terms run the whole candidate stage locally). Terms past the
+    // budget — or a disabled cache — fall back to the distributed decode,
+    // which is also the 100 TB path. Both branches produce the identical
+    // (docId, term, contrib) rows: same shards, same kernel.
+    val contributions = reader.bulkShards(termNames) match {
+      case Some(shards) =>
+        shards.flatMap { case (term, _, _, _, postings) =>
+          PostingCodec.decode(postings).iterator
+            .map(p => (p.docId, term,
+              idfB.value(term) * bm25.tfWeight(p.tf, bm25.normOf(p.doclen, meta.avgDocLen))))
+        }.toDF("docId", "term", "contrib")
+      case None => graft.index.IndexSchemas
+        .readSegments(spark, meta.segmentsDirs(storeDir))
+        .filter(col("term").isin(termNames: _*))
+        .select("term", "postings").as[(String, Array[Byte])]
+        .flatMap { case (term, postings) =>
+          PostingCodec.decode(postings).iterator
+            .map(p => (p.docId, term,
+              idfB.value(term) * bm25.tfWeight(p.tf, bm25.normOf(p.doclen, meta.avgDocLen))))
+        }
+        .toDF("docId", "term", "contrib")
+    }
 
     val scored = contributions
       .join(broadcast(msgTerms), "term")

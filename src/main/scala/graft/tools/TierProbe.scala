@@ -31,6 +31,21 @@ object TierProbe {
     bench("scatter-gather", IndexReader.ReaderConfig(0, 0, 0))
     bench("coordinator   ", IndexReader.ReaderConfig(0, 0, 256L << 20))
     bench("driver-cached ", IndexReader.ReaderConfig())
+    // cold-bulk J1 probe: a FRESH coordinator reader per variant (distinct
+    // cache budgets force distinct readers), timing the first pass over the
+    // whole query batch — without prewarm each novel-term query pays its
+    // own pushdown job; with prewarm the union term set is one job
+    def coldBulk(label: String, budget: Long, prewarm: Boolean): Unit = {
+      val r = IndexReader.open(spark, dir, IndexReader.ReaderConfig(0, 0, budget))
+      val t0 = System.nanoTime()
+      if (prewarm)
+        r.prewarmShards(queries.flatMap(q => r.resolve(q).terms.map(_.term)))
+      queries.foreach(q => r.searchHits(r.resolve(q), 100))
+      println(f"[tier] $label ${(System.nanoTime() - t0) / 1e6}%.1f ms total" +
+        f" (${queries.length} queries, cold)")
+    }
+    coldBulk("cold-bulk no-prewarm", (256L << 20) + 1, prewarm = false)
+    coldBulk("cold-bulk prewarmed ", (256L << 20) + 2, prewarm = true)
     spark.stop()
   }
 }

@@ -69,6 +69,34 @@ class TimeRangeLemmaSpec extends AnyFunSuite {
       Seq((Some((9, 0, "pm")), Some((9, 0, "pm")), "normal")))
   }
 
+  test("bundled lemma table fixes frequent words the suffix rules miss") {
+    // table-vs-heuristic: the suffix rules alone produced the LEFT value
+    // (wrong or unchanged); the bundled WordNet-style table (resources/
+    // graft/lang/lemma/en.csv) now yields the reference lemma
+    val cases = Seq(
+      "women" -> "woman", // rules: "women" (no rule fires)
+      "best" -> "good", // rules: "best"
+      "worse" -> "bad", // rules: "worse"
+      "criteria" -> "criterion", // rules: "criterium"? no — "criteria"
+      "phenomena" -> "phenomenon", // rules: "phenomena"
+      "analyses" -> "analysis", // rules: "analyse"
+      "wolves" -> "wolf", // rules: "wolve"
+      "taught" -> "teach", // rules: "taught"
+      "ate" -> "eat", // rules: "ate"
+      "oxen" -> "ox", // rules: "oxen"
+      "spoke" -> "speak", // rules: "spoke"
+      "further" -> "far", // rules: "further"
+      "theses" -> "thesis", // rules: "these"
+      "geese" -> "goose") // irregular map already had it; table agrees
+    for ((in, want) <- cases)
+      assert(Lemmatizer.lemma(in) == want, in)
+    // rules still serve the regular inflections (no table entry needed)
+    assert(Lemmatizer.lemma("indexing") == "index")
+    assert(Lemmatizer.lemma("tables") == "table")
+    // bundled backs up a caller table too (checked before the length guard)
+    assert(Lemmatizer.lemma("ate", Map("better" -> "good")) == "eat")
+  }
+
   test("dictionary-first lemmatization: supplied table beats the rules") {
     // a caller table (WordNet-exception-style) overrides both the suffix
     // rules and the built-in irregulars; unlisted words fall through

@@ -233,6 +233,16 @@ class OpsSpec extends SparkTestBase {
     val m2 = Similarity.trainIvf(data.repartition(7), "embedding", "vec_id",
       k = 8, iters = 5, trainSample = 100L)
     assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    // corpus > 4x sample exercises the hash-threshold pre-filter in front
+    // of the top-n (the 100 TB funnel guard): the selected sample — and so
+    // every centroid bit — must still be a pure function of ids
+    val big = (0L until 1000L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val b1 = Similarity.trainIvf(big, "embedding", "vec_id", k = 8,
+      iters = 3, trainSample = 100L)
+    val b2 = Similarity.trainIvf(big.repartition(11), "embedding", "vec_id",
+      k = 8, iters = 3, trainSample = 100L)
+    assert(b1.centroids.map(_.toSeq).toSeq == b2.centroids.map(_.toSeq).toSeq)
     // a quantizer trained on 1/4 of the data still prunes and recalls
     val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
     val clustered = Similarity.withIvfCluster(data, "embedding", m1)
