@@ -68,6 +68,26 @@ final class IndexReader private (
     Searcher.ResolvedQuery(terms.sortBy(_.term), meta)
   }
 
+  /** Bulk resolution (J1): on the distributed tier a cold `resolve` pays
+    * one dictionary-pushdown job per query with novel tokens; resolving a
+    * batch together runs ONE lookup over the union token set (exact terms
+    * land in the dict cache, so the per-query assembly below is
+    * job-free), then assembles each query's ResolvedQuery identically to
+    * resolve(). Fuzzy queries still expand individually (expansion is
+    * per-token-budget semantics), but their exact-token subset benefits
+    * from the warmed cache.
+    */
+  def resolveBulk(texts: Seq[String],
+      fuzzy: Boolean = false): Seq[Searcher.ResolvedQuery] = {
+    if (!fuzzy) {
+      val union = texts
+        .flatMap(t => graft.analyzer.Analyzers.analyze(meta.analyzer, t))
+        .distinct.sorted
+      if (union.nonEmpty) lookup(union) // one job warms the dict cache
+    }
+    texts.map(t => resolve(t, fuzzy))
+  }
+
   /** Distributed-tier dictionary entries resolved so far (a snapshot is
     * immutable, so entries never go stale; negative lookups cached too).
     * Query vocabularies are tiny next to posting bytes — capped for safety.

@@ -185,8 +185,10 @@ object TextSurface {
     import spark.implicits._
     val reader = IndexReader.open(spark, storeDir)
     val meta = reader.meta
+    // one dictionary job for the whole batch (resolveBulk warms the dict
+    // cache with the union token set), not one per message
     val resolved: Seq[Searcher.ResolvedQuery] =
-      messages.map(m => reader.resolve(m, fuzzy))
+      reader.resolveBulk(messages, fuzzy)
     val allTerms = resolved.flatMap(_.terms).distinctBy(_.term)
     if (allTerms.isEmpty) return messages.map(_ => Seq.empty)
     val bm25 = BM25(meta.k1, meta.b)

@@ -39,7 +39,7 @@ object TierProbe {
       val r = IndexReader.open(spark, dir, IndexReader.ReaderConfig(0, 0, budget))
       val t0 = System.nanoTime()
       if (prewarm)
-        r.prewarmShards(queries.flatMap(q => r.resolve(q).terms.map(_.term)))
+        r.prewarmShards(r.resolveBulk(queries).flatMap(_.terms.map(_.term)))
       queries.foreach(q => r.searchHits(r.resolve(q), 100))
       println(f"[tier] $label ${(System.nanoTime() - t0) / 1e6}%.1f ms total" +
         f" (${queries.length} queries, cold)")
