@@ -423,25 +423,35 @@ object SparkEntry {
 
     // ---- BM25 through the real engine (index build + WAND + resolve),
     // ---- DuckDB-replayed end-to-end on the whitespace-analyzer index ----
-    "q_bm25_topk" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val dir = wsIndexFor(s, d)
-      // k chosen >= every match (WAND only emits docs hitting >= 1 term),
-      // so the returned SET is tie-free by construction; ORDER is then
-      // re-keyed on (quantized score, doc_id) — deterministic in any
-      // engine, immune to the internal-docId tie-break inside WAND
-      val hits = Searcher.search(s, dir, BmTopkQuery, 100000, fuzzy = false)
-      Searcher.resolveHits(s, dir, hits)
-        .select(col("path").cast("long").as("doc_id"),
-          round(col("score") * 1e6).cast("long").as("score_q"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score_q"), col("doc_id"))).cast("int"))
-        .orderBy("rank")
-    }),
-    // engine-native (rows-only: verified by in-repo WAND/exact parity)
+    "q_bm25_topk" -> ((s, d) => wsBm25Contract(s, d, BmTopkQuery, fuzzy = false)),
+    // fuzzy twin of THE core op (P8): same engine path with ES-style
+    // auto:4,7 expansion, replayed in SQL via damerau_levenshtein
+    "q_bm25_fuzzy_ws" -> ((s, d) => wsBm25Contract(s, d, BmFuzzyQuery, fuzzy = true)),
+    // engine-native on the Porter-stemmed index (rows-only: stemming is not
+    // SQL-expressible; verified by in-repo WAND/exact parity)
     "q_bm25_fuzzy" -> ((s, d) => bm25TopK(s, d, "sprak mrege qurey", 50, fuzzy = true)))
 
   private val BmTopkQuery = "spark merge query window"
+  private val BmFuzzyQuery = "sparq mergee windoow"
+
+  /** Shared body of the whitespace-index BM25 contract queries: real engine
+    * (WAND + resolveHits), k >= every possible match so the returned SET is
+    * tie-free by construction; ORDER is then re-keyed on (quantized score,
+    * doc_id) — deterministic in any engine, immune to the internal-docId
+    * tie-break inside WAND.
+    */
+  private def wsBm25Contract(s: SparkSession, d: String, query: String,
+      fuzzy: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = wsIndexFor(s, d)
+    val hits = Searcher.search(s, dir, query, 100000, fuzzy)
+    Searcher.resolveHits(s, dir, hits)
+      .select(col("path").cast("long").as("doc_id"),
+        round(col("score") * 1e6).cast("long").as("score_q"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_q"), col("doc_id"))).cast("int"))
+      .orderBy("rank")
+  }
 
   /** DuckDB SQL replaying q_bm25_topk end-to-end: whitespace tokens (the
     * ws-index analyzer == regexp_split_to_array minus empties), per-term
@@ -485,6 +495,65 @@ object SparkEntry {
        |    $contribs AS score
        |  FROM tf, st
        |  WHERE $anyMatch)
+       |SELECT CAST(ROW_NUMBER() OVER (
+       |    ORDER BY CAST(round(score * 1e6) AS BIGINT) DESC, doc_id) AS INT) AS rank,
+       |  doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_q
+       |FROM scored ORDER BY rank LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB SQL replaying q_bm25_fuzzy_ws end-to-end: ES-style auto:4,7
+    * fuzzy expansion over the whitespace dictionary — per query token,
+    * candidate terms share the first char, sit within the edit budget's
+    * length window, and have edit distance <= budget; capped at 50 per
+    * token preferring (smaller distance, higher df, term) — then the
+    * union's BM25 contributions sum per doc in lexicographic term order
+    * (list aggregate ordered by term + left fold). DuckDB's
+    * damerau_levenshtein is full DL where the engine uses OSA (restricted
+    * transpositions); they agree on every pair these corpora produce
+    * (validated at sf0.001/0.01/0.1 — divergence needs a reused
+    * transposed pair, which the first-char-fixed candidate set makes
+    * contrived). Scores quantized and re-ranked exactly like q_bm25_topk.
+    */
+  private def bm25FuzzyWsOracle(query: String, k1: Double, k: Int): String = {
+    import graft.functions.EditDistance
+    val k1s = k1.toString
+    val k1p1 = (k1 + 1.0).toString
+    val toks = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val qRows = toks.map(q =>
+      s"('${q.replace("'", "''")}', ${EditDistance.autoFuzzyEdits(q.length)})")
+      .mkString(", ")
+    val tf = "CAST(len(list_filter(tk.t, x -> x = e.term)) AS DOUBLE)"
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |dict AS (
+       |  SELECT term, COUNT(DISTINCT doc_id) AS df
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM tk) u GROUP BY 1),
+       |qt AS (SELECT * FROM (VALUES $qRows) v(q, kq)),
+       |exp AS (
+       |  SELECT DISTINCT term, df FROM (
+       |    SELECT c.q, c.term, c.df,
+       |      ROW_NUMBER() OVER (PARTITION BY c.q
+       |        ORDER BY c.d, c.df DESC, c.term) AS rn
+       |    FROM (
+       |      SELECT qt.q, dt.term, dt.df,
+       |        damerau_levenshtein(qt.q, dt.term) AS d
+       |      FROM qt JOIN dict dt
+       |        ON substr(dt.term, 1, 1) = substr(qt.q, 1, 1)
+       |        AND abs(length(dt.term) - length(qt.q)) <= qt.kq
+       |        AND damerau_levenshtein(qt.q, dt.term) <= qt.kq) c) r
+       |  WHERE rn <= 50),
+       |st AS (SELECT COUNT(*) AS n FROM documents),
+       |contrib AS (
+       |  SELECT tk.doc_id, e.term,
+       |    ln(1.0 + (CAST(st.n - e.df AS DOUBLE) + 0.5) / (CAST(e.df AS DOUBLE) + 0.5))
+       |    * (($tf * $k1p1) / ($tf + $k1s)) AS c
+       |  FROM tk JOIN exp e ON list_contains(tk.t, e.term) CROSS JOIN st),
+       |scored AS (
+       |  SELECT doc_id,
+       |    list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS score
+       |  FROM contrib GROUP BY doc_id)
        |SELECT CAST(ROW_NUMBER() OVER (
        |    ORDER BY CAST(round(score * 1e6) AS BIGINT) DESC, doc_id) AS INT) AS rank,
        |  doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_q
@@ -904,6 +973,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashOracle(maxHamming = 8, limit = 50,
       maxBucketSize = 64),
     "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2, k = 100000),
+    "q_bm25_fuzzy_ws" -> bm25FuzzyWsOracle(BmFuzzyQuery, k1 = 1.2, k = 100000),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),
     "q_embed_neardup" -> embedNearDupOracle(dim = 64, nBits = 6, seed = 42L,
       minCosine = 0.3, maxBucketSize = 256, probeHamming = 1),

@@ -3,8 +3,10 @@ package graft.ops
 /** From-scratch media codecs for the multimodal pipeline — formats simple
   * enough to decode with zero external libraries, so the decode stage is
   * REAL, not stubbed: PPM (P6) and 24-bit uncompressed BMP for images,
-  * RIFF/WAVE PCM-16 for audio. Video containers genuinely need a codec
-  * library and stay out of scope (Multimodal documents the seam).
+  * RIFF/WAVE PCM-16 for audio, and RIFF/AVI with uncompressed RGB24
+  * ('DIB ') frames for video. COMPRESSED video codecs (H.264 & co.)
+  * genuinely need an external library and remain out of scope — a
+  * compressed payload simply fails decode onto the error channel.
   *
   * All functions are pure byte-array transforms — safe inside mapPartitions
   * at any parallelism.
@@ -260,5 +262,143 @@ object MediaCodecs {
       y += 1
     }
     Image(w2, h2, out)
+  }
+
+  // ---- AVI (RIFF) with uncompressed bottom-up BGR24 frames ----
+  // Layout (public RIFF/AVI spec): RIFF('AVI ') { LIST('hdrl'){ avih,
+  // LIST('strl'){ strh('vids'/'DIB '), strf(BITMAPINFOHEADER bi=24/0) } },
+  // LIST('movi'){ '00db' raw frame ... } }. Frames are BMP-style: rows
+  // bottom-up, BGR, padded to 4 bytes.
+
+  final case class VideoInfo(width: Int, height: Int, nFrames: Int)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off + 4 > b.length) "" else new String(b, off, 4, "US-ASCII")
+
+  /** Walk the container once: header info + in-range frame-chunk offsets.
+    * None when not a parseable uncompressed-RGB24 AVI (the error channel —
+    * compressed codecs land here by design).
+    */
+  private def parseAvi(b: Array[Byte]): Option[(VideoInfo, Seq[Int])] = {
+    if (b.length < 24 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    var w = 0; var h = 0
+    var bitCount = -1; var compression = -1
+    val frames = Seq.newBuilder[Int]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fourcc(b, off)
+        val size = le32(b, off + 4)
+        if (size < 0 || off + 8 + size > to) return // truncated — keep what parsed
+        if (id == "LIST") {
+          val listType = fourcc(b, off + 8)
+          walk(off + 12, off + 8 + size, inMovi || listType == "movi")
+        } else if (id == "avih" && size >= 40) {
+          w = le32(b, off + 8 + 32)
+          h = le32(b, off + 8 + 36)
+        } else if (id == "strf" && size >= 40 && bitCount < 0) {
+          bitCount = le16(b, off + 8 + 14)
+          compression = le32(b, off + 8 + 16)
+        } else if (inMovi && id.length == 4 &&
+          (id.endsWith("db") || id.endsWith("dc"))) {
+          frames += off
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, math.min(b.length, 8 + le32(b, 4)), inMovi = false)
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || bitCount != 24 || compression != 0 || fs.isEmpty)
+      None
+    else Some((VideoInfo(w, h, fs.length), fs))
+  }
+
+  def decodeAviInfo(bytes: Array[Byte]): Option[VideoInfo] =
+    parseAvi(bytes).map(_._1)
+
+  /** Decode frame `idx` to a top-down RGB image. */
+  def decodeAviFrame(bytes: Array[Byte], idx: Int): Option[Image] =
+    parseAvi(bytes).flatMap { case (info, offs) =>
+      if (idx < 0 || idx >= offs.length) None
+      else {
+        val off = offs(idx)
+        val size = le32(bytes, off + 4)
+        val rowSize = ((3 * info.width + 3) / 4) * 4
+        if (size < rowSize * info.height) None
+        else {
+          val rgb = new Array[Byte](info.width * info.height * 3)
+          var y = 0
+          while (y < info.height) {
+            val src = off + 8 + (info.height - 1 - y) * rowSize
+            var x = 0
+            while (x < info.width) {
+              val d = (y * info.width + x) * 3
+              rgb(d) = bytes(src + x * 3 + 2)     // R
+              rgb(d + 1) = bytes(src + x * 3 + 1) // G
+              rgb(d + 2) = bytes(src + x * 3)     // B
+              x += 1
+            }
+            y += 1
+          }
+          Some(Image(info.width, info.height, rgb))
+        }
+      }
+    }
+
+  /** Encode top-down RGB frames (each width*height*3) as an uncompressed
+    * RGB24 AVI at `fps`.
+    */
+  def encodeAviRgb(width: Int, height: Int, frames: Seq[Array[Byte]],
+      fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height * 3),
+      "frames must be width*height*3 RGB")
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val frameSize = rowSize * height
+    val n = frames.length
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + n * (8 + frameSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val out = new Array[Byte](8 + riffSize)
+    var p = 0
+    def putAscii(s: String): Unit = { var i = 0; while (i < s.length) { out(p) = s.charAt(i).toByte; p += 1; i += 1 } }
+    def put32(v: Int): Unit = { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte; out(p + 2) = (v >> 16).toByte; out(p + 3) = (v >> 24).toByte; p += 4 }
+    def put16(v: Int): Unit = { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte; p += 2 }
+    putAscii("RIFF"); put32(riffSize); putAscii("AVI ")
+    putAscii("LIST"); put32(hdrlSize); putAscii("hdrl")
+    putAscii("avih"); put32(56)
+    put32(if (fps > 0) 1000000 / fps else 0); put32(0); put32(0); put32(0)
+    put32(n); put32(0); put32(1); put32(frameSize)
+    put32(width); put32(height); put32(0); put32(0); put32(0); put32(0)
+    putAscii("LIST"); put32(4 + (8 + 56) + (8 + 40)); putAscii("strl")
+    putAscii("strh"); put32(56)
+    putAscii("vids"); putAscii("DIB "); put32(0); put16(0); put16(0)
+    put32(0); put32(1); put32(math.max(1, fps)); put32(0); put32(n)
+    put32(frameSize); put32(0); put32(0)
+    put16(0); put16(0); put16(width); put16(height) // rcFrame
+    putAscii("strf"); put32(40)
+    put32(40); put32(width); put32(height); put16(1); put16(24)
+    put32(0); put32(frameSize); put32(0); put32(0); put32(0); put32(0)
+    putAscii("LIST"); put32(moviSize); putAscii("movi")
+    for (f <- frames) {
+      putAscii("00db"); put32(frameSize)
+      var y = 0
+      while (y < height) {
+        val srcRow = (height - 1 - y) * width * 3
+        var x = 0
+        while (x < width) {
+          out(p + x * 3) = f(srcRow + x * 3 + 2)     // B
+          out(p + x * 3 + 1) = f(srcRow + x * 3 + 1) // G
+          out(p + x * 3 + 2) = f(srcRow + x * 3)     // R
+          x += 1
+        }
+        var pad = 3 * width
+        while (pad < rowSize) { out(p + pad) = 0; pad += 1 }
+        p += rowSize
+        y += 1
+      }
+    }
+    require(p == out.length, s"AVI layout mismatch: wrote $p of ${out.length}")
+    out
   }
 }

@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * columns + typed metadata structs, with decode / feature-extract /
   * resize / frame-sample as partition-batched transforms.
   *
-  * Image (PPM P6, 24-bit BMP) and audio (RIFF/WAVE PCM-16) decoding is REAL
-  * — from-scratch codecs in [[MediaCodecs]], no external libraries. Video
-  * frame extraction genuinely needs a codec library this container does not
-  * ship; `decodeVideoStub` is the single documented seam to swap in a real
-  * binding, and the frame-sampling plumbing around it is real. At scale the
-  * pattern is mapPartitions batching so decoder init amortizes per
-  * partition (the same shape as `mapInPandas` batches on the Python side).
+  * ALL THREE modalities decode for real — from-scratch codecs in
+  * [[MediaCodecs]], no external libraries: PPM P6 / 24-bit BMP images,
+  * RIFF/WAVE PCM-16 audio, and RIFF/AVI video with uncompressed RGB24
+  * frames (frame extraction + per-frame luma features). COMPRESSED video
+  * codecs (H.264 & co.) genuinely need an external library this container
+  * does not ship — such payloads fail decode onto the error channel,
+  * which is the one remaining documented seam. At scale the pattern is
+  * mapPartitions batching so decoder init amortizes per partition (the
+  * same shape as `mapInPandas` batches on the Python side).
   */
 object Multimodal {
 
@@ -32,8 +34,8 @@ object Multimodal {
 
   /** Deterministic synthetic media table with REAL payloads: images are
     * valid PPM (even ids) / BMP (odd ids) files with seeded pixel content;
-    * audio is a valid PCM-16 WAV with seeded waveform; video payloads are
-    * opaque (no container format without a codec lib).
+    * audio is a valid PCM-16 WAV with seeded waveform; video is a valid
+    * uncompressed-RGB24 AVI with seeded frames.
     */
   def synthetic(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val genU = udf { (id: Long) =>
@@ -58,13 +60,26 @@ object Multimodal {
           while (i < nSamp) { samples(i) = (rng(4 + i / 4) >>> ((i % 4) * 16)).toShort; i += 1 }
           MediaCodecs.encodeWavPcm16(MediaCodecs.Audio(16000, 1, samples))
         case _ =>
-          val len = 64 + (rng(1) & 0xff).toInt
-          val bytes = new Array[Byte](len)
-          var i = 0
-          while (i < len) { bytes(i) = (rng(5 + i / 8) >>> ((i % 8) * 8)).toByte; i += 1 }
-          bytes
+          val w = 8 + (rng(1) & 7).toInt
+          val h = 8 + (rng(2) & 7).toInt
+          val nf = 4 + (rng(3) & 7).toInt
+          val frames = (0 until nf).map { f =>
+            val rgb = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < rgb.length) {
+              rgb(i) = (rng(7 + f * 131 + i / 8) >>> ((i % 8) * 8)).toByte
+              i += 1
+            }
+            rgb
+          }
+          MediaCodecs.encodeAviRgb(w, h, frames)
       }
-      (kind, payload)
+      val nFrames = kind match {
+        case "video" => MediaCodecs.decodeAviInfo(payload).map(_.nFrames).getOrElse(0)
+        case "image" => 1
+        case _ => 0
+      }
+      (kind, payload, nFrames)
     }
     spark.range(0, n, 1, math.max(2, spark.sparkContext.defaultParallelism))
       .withColumn("g", genU(col("id")))
@@ -72,32 +87,38 @@ object Multimodal {
         col("g._2").as("payload"),
         struct(
           lit(0).as("width"), lit(0).as("height"),
-          lit(16000).as("sample_rate"), lit(16).as("n_frames"),
+          lit(16000).as("sample_rate"), col("g._3").as("n_frames"),
           when(col("g._1") === "image", "ppm|bmp")
             .when(col("g._1") === "audio", "wav")
-            .otherwise("opaque").as("codec")).as("meta"))
+            .otherwise("avi").as("codec")).as("meta"))
   }
 
-  /** ==== the single remaining STUB: video frame decode ====
-    * Deterministic fake per-frame vector — swap for a real codec binding.
+  /** REAL video features: sample up to 4 frames evenly across the clip,
+    * 4x4 average-pooled luma grid per sampled frame, concatenated and
+    * zero-padded to a fixed 64 floats. Compressed/corrupt containers
+    * return None (the error channel) — the documented seam for codecs
+    * that need an external library.
     */
-  def decodeVideoStub(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](64)
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < payload.length) { h = (h ^ payload(i)) * 0x100000001b3L; i += 1 }
-    i = 0
-    while (i < out.length) {
-      h = graft.index.Hashing.mix64(h + i)
-      out(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
-      i += 1
+  def videoFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    MediaCodecs.decodeAviInfo(payload).map { info =>
+      val take = math.min(4, info.nFrames)
+      val out = new Array[Float](64)
+      var s = 0
+      while (s < take) {
+        // even sampling: frame index s * n / take (first frame always in)
+        val idx = s.toLong * info.nFrames / take
+        MediaCodecs.decodeAviFrame(payload, idx.toInt).foreach { img =>
+          val g = MediaCodecs.grayGrid(img, 4)
+          System.arraycopy(g, 0, out, s * 16, math.min(16, g.length))
+        }
+        s += 1
+      }
+      out
     }
-    out
-  }
 
   /** Real per-row decode: PPM/BMP → 8x8 average-pooled luma grid; WAV →
-    * 16-window RMS energy; video → the documented stub. None = corrupt or
-    * unsupported payload (the error channel).
+    * 16-window RMS energy; AVI video → sampled-frame luma features. None =
+    * corrupt or unsupported payload (the error channel).
     */
   def decode(kind: String, payload: Array[Byte]): Option[Array[Float]] =
     kind match {
@@ -106,7 +127,7 @@ object Multimodal {
           .map(MediaCodecs.grayGrid(_))
       case "audio" =>
         MediaCodecs.decodeWavPcm16(payload).map(MediaCodecs.rmsWindows(_))
-      case "video" => Some(decodeVideoStub(payload))
+      case "video" => videoFeatures(payload)
       case _ => None
     }
 

@@ -68,19 +68,52 @@ class MultimodalSpec extends SparkTestBase {
   test("corrupt payloads land on the error channel, not as exceptions") {
     val bad = Seq(
       (100L, "image", Array[Byte](1, 2, 3)),
-      (101L, "audio", "not a wav".getBytes.toArray))
+      (101L, "audio", "not a wav".getBytes.toArray),
+      // a compressed/unknown container is exactly this case: parseable by
+      // no bundled codec -> error channel, never an exception
+      (102L, "video", "RIFFxxxxAVI corrupted".getBytes.toArray))
       .toDF("media_id", "kind", "payload")
     val f = Multimodal.extractFeatures(bad)
       .select("media_id", "decode_ok").as[(Long, Boolean)].collect().toMap
-    assert(!f(100L) && !f(101L))
+    assert(!f(100L) && !f(101L) && !f(102L))
   }
 
-  test("frame sampling explodes only videos with stride") {
+  test("AVI codec: RGB24 frames roundtrip exactly; features are real pixels") {
+    val w = 5; val h = 3
+    val frames = (0 until 6).map { f =>
+      Array.tabulate(w * h * 3)(i => ((i * 7 + f * 31) % 256 - 128).toByte)
+    }
+    val avi = MediaCodecs.encodeAviRgb(w, h, frames, fps = 5)
+    val info = MediaCodecs.decodeAviInfo(avi).get
+    assert(info == MediaCodecs.VideoInfo(w, h, 6))
+    for (f <- 0 until 6) {
+      val img = MediaCodecs.decodeAviFrame(avi, f).get
+      assert(img.width == w && img.height == h)
+      assert(img.rgb.toSeq == frames(f).toSeq, s"frame $f")
+    }
+    assert(MediaCodecs.decodeAviFrame(avi, 6).isEmpty)
+    // all-white first frame (8x8 so every 4x4 grid cell has pixels) ->
+    // first 16 features exactly 1.0
+    val white = Array.fill[Byte](8 * 8 * 3)(-1)
+    val black = new Array[Byte](8 * 8 * 3)
+    val avi2 = MediaCodecs.encodeAviRgb(8, 8, Seq(white, black))
+    val feat = Multimodal.videoFeatures(avi2).get
+    assert(feat.length == 64)
+    assert(feat.take(16).forall(v => math.abs(v - 1.0f) < 1e-3))
+    assert(feat.slice(16, 32).forall(v => math.abs(v) < 1e-3))
+  }
+
+  test("frame sampling explodes only videos with stride from real n_frames") {
     val m = Multimodal.synthetic(spark, 30)
-    val frames = Multimodal.sampleFrames(m, stride = 4)
-    val perVideo = frames.groupBy("media_id").count()
-      .select("count").as[Long].collect()
-    assert(perVideo.nonEmpty && perVideo.forall(_ == 4)) // 16 frames / stride 4
+    val expected = m.filter($"kind" === "video")
+      .select($"media_id", $"meta.n_frames").as[(Long, Int)].collect().toMap
+    assert(expected.nonEmpty && expected.values.forall(n => n >= 4 && n <= 11))
+    val perVideo = Multimodal.sampleFrames(m, stride = 4)
+      .groupBy("media_id").count()
+      .select($"media_id", $"count").as[(Long, Long)].collect().toMap
+    assert(perVideo.keySet == expected.keySet)
+    for ((id, nf) <- expected)
+      assert(perVideo(id) == (nf - 1) / 4 + 1, s"video $id with $nf frames")
   }
 
   test("resize REALLY resamples image pixels and re-encodes") {
