@@ -405,6 +405,16 @@ object SparkEntry {
           "vec_id", dim = 64, nBits = 6, minCosine = 0.3, maxBucketSize = 256)
         .orderBy("idA", "idB")
     }),
+    "q_dedup_clusters" -> ((s, d) => {
+      // pairs → clusters: connected components over the simhash near-dup
+      // pair set; cluster label = min reachable id (the canonical
+      // survivor). The oracle replays the closure as a recursive CTE.
+      val pairs = Dedup.simHashPairs(table(s, d, "documents"), "text",
+        "doc_id", maxHamming = 8, maxBucketSize = 64)
+      Dedup.connectedComponents(pairs, "idA", "idB")
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .orderBy("doc_id")
+    }),
     "q_langid" -> ((s, d) => {
       TextAnalysis.langId(table(s, d, "documents"), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
@@ -617,12 +627,13 @@ object SparkEntry {
        |LIMIT $limit""".stripMargin
   }
 
-  /** DuckDB SQL replaying q_simhash_pairs: per-token md5-lower-64, 64-bit
-    * majority vote, 4x16-bit chunk blocking with the same bucket-width cap
-    * as the Spark side, exact Hamming verify.
+  /** Shared WITH-body replaying simHashPairs candidate generation (used by
+    * the q_simhash_pairs oracle AND the q_dedup_clusters oracle — one
+    * definition, they must never drift): per-token md5-lower-64, 64-bit
+    * majority vote, 4x16-bit chunk blocking with the Spark side's
+    * bucket-width cap, exact Hamming in the final `pairs` CTE.
     */
-  private def simhashOracle(maxHamming: Int, limit: Int,
-      maxBucketSize: Int): String = {
+  private def simhashPairsCte(maxBucketSize: Int): String = {
     val votes = (0 until 64).map(b =>
       s"SUM(CASE WHEN (h >> $b) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS v$b")
       .mkString(",\n    ")
@@ -631,7 +642,7 @@ object SparkEntry {
     val fold = (0 until 64).map(b =>
       s"CASE WHEN v$b > 0 THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END")
       .mkString(" + ")
-    s"""WITH th AS (
+    s"""th AS (
        |  SELECT doc_id, md5_number_lower(unnest(
        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS h
        |  FROM documents),
@@ -657,11 +668,35 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB,
        |    bit_count(xor(a.simhash, b.simhash)) AS hd
        |  FROM capped a JOIN capped b
-       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def simhashOracle(maxHamming: Int, limit: Int,
+      maxBucketSize: Int): String =
+    s"""WITH ${simhashPairsCte(maxBucketSize)}
        |SELECT idA, idB, CAST(hd AS INT) AS hamming FROM pairs
        |WHERE hd <= $maxHamming
        |ORDER BY hd, idA, idB LIMIT $limit""".stripMargin
-  }
+
+  /** DuckDB SQL replaying q_dedup_clusters: the same simhash pair set, then
+    * connected components as a recursive CTE — every id's cluster label is
+    * the MINIMUM id reachable through dup pairs (UNION dedups rows, so the
+    * recursion terminates at the transitive closure). The min-id fixpoint
+    * is unique, so the iterative Spark algorithm and the closure-based SQL
+    * must agree exactly.
+    */
+  private def dedupClustersOracle(maxHamming: Int, maxBucketSize: Int): String =
+    s"""WITH RECURSIVE ${simhashPairsCte(maxBucketSize)},
+       |edges AS (
+       |  SELECT idA AS s, idB AS d FROM pairs WHERE hd <= $maxHamming
+       |  UNION
+       |  SELECT idB AS s, idA AS d FROM pairs WHERE hd <= $maxHamming),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id)
+       |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB SQL replaying q_langid: per-profile contains-count, argmax with
     * ties to the lexicographically larger language (TextAnalysis.langId).
@@ -971,6 +1006,8 @@ object SparkEntry {
     "q_minhash_pairs" -> minhashOracle(shingleSize = 2, numHashes = 64,
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64, limit = 50),
     "q_simhash_pairs" -> simhashOracle(maxHamming = 8, limit = 50,
+      maxBucketSize = 64),
+    "q_dedup_clusters" -> dedupClustersOracle(maxHamming = 8,
       maxBucketSize = 64),
     "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2, k = 100000),
     "q_bm25_fuzzy_ws" -> bm25FuzzyWsOracle(BmFuzzyQuery, k1 = 1.2, k = 100000),

@@ -290,6 +290,66 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over an undirected near-dup pair list — the step
+    * from dup PAIRS (minHashLsh / simHashPairs / embeddingNearDupPairs) to
+    * dedup CLUSTERS: every doc in a component gets the component's minimum
+    * id as its cluster label (= the canonical survivor, consistent with the
+    * other ops' min-id rule).
+    *
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * (a) takes the min label over neighbors, (b) compresses label chains
+    * (label := label(label)), so convergence is O(log diameter) rounds,
+    * not O(diameter); each round is two hash joins + an aggregation, all
+    * keyed on ids (the 100 TB shape — no adjacency ever materializes on
+    * one node). Deterministic: min() fixpoints are unique, so partitioning
+    * and round count cannot change the answer. Iteration caps at `maxIter`
+    * with a convergence check per round (one count job each — bounded by
+    * log diameter, in practice 3-5 rounds for near-dup clusters).
+    *
+    * Returns (id, label) for every id appearing in `pairs`; singletons
+    * (docs with no dup pair) are absent by construction — callers keep the
+    * corpus where it is and left-join.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // (a) neighbor-min: the smallest label among me and my neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      val propagated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // (b) pointer jump: label := label(label) — compresses chains so a
+      // long path converges logarithmically
+      val byLabel = labels
+        .select(col("id").as("label"), col("label").as("jump"))
+      val next = propagated.join(byLabel, Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: block on 4 × 16-bit chunks (a pair within
     * Hamming distance <= 3 must agree on at least one chunk — pigeonhole;
     * larger maxHamming keeps the same blocking and is best-effort beyond 3),

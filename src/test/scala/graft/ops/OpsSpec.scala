@@ -167,6 +167,25 @@ class OpsSpec extends SparkTestBase {
     assert(exact.subsetOf(probed))
   }
 
+  test("connected components: min-id labels, chains, determinism") {
+    // two components: a 6-node PATH (worst case for plain propagation —
+    // pointer jumping must still converge inside the round cap) and a
+    // triangle with ids out of order
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // path
+      (52L, 50L), (51L, 52L), (50L, 51L) // triangle
+    ).toDF("idA", "idB")
+    val cc = Dedup.connectedComponents(pairs, "idA", "idB")
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 15L).forall(cc(_) == 10L))
+    assert((50L to 52L).forall(cc(_) == 50L))
+    assert(cc.size == 9) // only ids that appear in pairs
+    // partitioning must not change a single label (min fixpoint is unique)
+    val cc2 = Dedup.connectedComponents(pairs.repartition(7), "idA", "idB")
+      .as[(Long, Long)].collect().toMap
+    assert(cc2 == cc)
+  }
+
   test("brute knn cosine: self is top hit with score 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
