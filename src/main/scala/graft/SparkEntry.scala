@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexConfig, Snapshot}
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.query.Searcher
 
 /** Shared implementations behind the driver-contract queries. */
@@ -405,6 +405,15 @@ object SparkEntry {
           "vec_id", dim = 64, nBits = 6, minCosine = 0.3, maxBucketSize = 256)
         .orderBy("idA", "idB")
     }),
+    "q_split" -> ((s, d) => {
+      // deterministic train/val/test split: pure function of (seed, key),
+      // no RNG, no shuffle — replayed exactly by the DuckDB oracle via
+      // md5_number_lower and the same floor(cum * 2^64) cut literals
+      Sampling.split(table(s, d, "documents"), col("doc_id"), "graft",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
     "q_dedup_clusters" -> ((s, d) => {
       // pairs → clusters: connected components over the simhash near-dup
       // pair set; cluster label = min reachable id (the canonical
@@ -568,6 +577,30 @@ object SparkEntry {
        |    ORDER BY CAST(round(score * 1e6) AS BIGINT) DESC, doc_id) AS INT) AS rank,
        |  doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_q
        |FROM scored ORDER BY rank LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB SQL replaying q_split: same "seed|key" md5-lower-64 row hash,
+    * same floor(cumulative * 2^64) unsigned cut literals (generated through
+    * Sampling.cutUnsigned — one source of truth), unsigned comparison is
+    * native on UBIGINT.
+    */
+  private def splitOracle(seed: String,
+      fractions: Seq[(String, Double)]): String = {
+    import graft.ops.Sampling
+    val cuts = fractions.init
+      .scanLeft(("", 0.0)) { case ((_, acc), (name, f)) => (name, acc + f) }
+      .tail
+      .map { case (name, cum) => (name, Sampling.cutUnsigned(cum)) }
+    val cases = cuts.map { case (name, cut) =>
+      s"WHEN h < ${cut}::UBIGINT THEN '$name'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, CASE
+       |    $cases
+       |    ELSE '${fractions.last._1}' END AS split
+       |FROM (SELECT doc_id,
+       |  md5_number_lower('${seed}|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB SQL replaying q_minhash_pairs end-to-end: same tokenization,
@@ -1009,6 +1042,8 @@ object SparkEntry {
       maxBucketSize = 64),
     "q_dedup_clusters" -> dedupClustersOracle(maxHamming = 8,
       maxBucketSize = 64),
+    "q_split" -> splitOracle("graft",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2, k = 100000),
     "q_bm25_fuzzy_ws" -> bm25FuzzyWsOracle(BmFuzzyQuery, k1 = 1.2, k = 100000),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),

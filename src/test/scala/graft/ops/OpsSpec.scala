@@ -167,6 +167,42 @@ class OpsSpec extends SparkTestBase {
     assert(exact.subsetOf(probed))
   }
 
+  test("deterministic sampling/split: partition, reproducibility, strata") {
+    val rows = spark.range(0, 2000).toDF("id")
+    val sp = Sampling.split(rows, col("id"), "seed1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect()
+    // exact partition: every row labeled exactly once
+    assert(sp.length == 2000 && sp.map(_._1).distinct.length == 2000)
+    val byLabel = sp.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byLabel("train") - 1600) < 120)
+    assert(math.abs(byLabel("val") - 200) < 80)
+    assert(math.abs(byLabel("test") - 200) < 80)
+    // pure function of (seed, key): partitioning cannot move a row
+    val sp2 = Sampling.split(rows.repartition(7), col("id"), "seed1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect()
+    assert(sp2.toMap == sp.toMap)
+    // sample(f) is exactly the first split bucket of (f, 1-f)
+    val s25 = Sampling.sample(rows, col("id"), "seed1", 0.25)
+      .select("id").as[Long].collect().toSet
+    val sp25 = Sampling.split(rows, col("id"), "seed1",
+      Seq("in" -> 0.25, "out" -> 0.75))
+      .filter(col("split") === "in").select("id").as[Long].collect().toSet
+    assert(s25 == sp25)
+    // different seeds give different samples of the same keys
+    val other = Sampling.sample(rows, col("id"), "seed2", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(other != s25)
+    // stratified: fraction 0 drops a stratum, 1.0 keeps one whole
+    val strat = rows.withColumn("lang",
+      when(col("id") % 2 === 0, "en").otherwise("de"))
+    val kept = Sampling.stratifiedSample(strat, col("id"), col("lang"),
+      "seed1", Map("en" -> 1.0, "de" -> 0.0))
+      .select("lang").as[String].collect()
+    assert(kept.length == 1000 && kept.forall(_ == "en"))
+  }
+
   test("connected components: min-id labels, chains, determinism") {
     // two components: a 6-node PATH (worst case for plain propagation —
     // pointer jumping must still converge inside the round cap) and a
