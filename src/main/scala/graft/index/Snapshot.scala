@@ -202,6 +202,35 @@ object Snapshot {
       analyzer = fieldOpt("analyzer").map(unq).getOrElse("standard"))
   }
 
+  /** Garbage-collect generations the CURRENT snapshot does not reference
+    * (its delta chain stays whole): after a compaction the old chain is
+    * unreachable from `current` and only consumes disk + time-travel
+    * ability. Keeps the `keepLast` newest unreferenced versions for
+    * in-flight readers / explicit time-travel, deletes the rest — manifest
+    * json FIRST (so a crash mid-delete leaves a missing manifest, never a
+    * manifest naming missing data), then the version directory. The
+    * `current` pointer and every referenced generation are never touched.
+    * Retention must respect reader SLAs — a reader still scanning a
+    * vacuumed version loses its files (standard GC contract).
+    * Returns the deleted versions.
+    */
+  def vacuum(indexDir: String, keepLast: Int = 1): Seq[Int] = {
+    val curOpt = load(indexDir)
+    if (curOpt.isEmpty) return Seq.empty
+    val referenced = curOpt.get.allVersions.toSet
+    val drop = listVersions(indexDir).filterNot(referenced).sorted
+      .dropRight(math.max(0, keepLast))
+    drop.foreach { v =>
+      Files.deleteIfExists(metaDir(indexDir).resolve(s"v$v.json"))
+      val dir = Paths.get(indexDir, s"v$v")
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p): Unit)
+      }
+    }
+    drop
+  }
+
   def listVersions(indexDir: String): Seq[Int] = {
     val dir = metaDir(indexDir)
     if (!Files.exists(dir)) Seq.empty

@@ -32,14 +32,14 @@ object StreamingIngest {
     */
   def appendBatch(spark: SparkSession, storeDir: String,
       batch: DataFrame, cfg: IndexConfig = IndexConfig(),
-      maxDeltaChain: Int = 16): SnapshotMeta = {
+      maxDeltaChain: Int = 16, vacuumKeepLast: Int = -1): SnapshotMeta = {
     batch.select("repo", "path", "commit", "lang", "content")
       .write.mode(SaveMode.Append).parquet(corpusDir(storeDir))
     def fullCorpus = spark.read
       .schema("repo string, path string, commit string, lang string, content string")
       .parquet(corpusDir(storeDir))
       .dropDuplicates("repo", "path", "commit")
-    Snapshot.load(storeDir)
+    val meta = Snapshot.load(storeDir)
       .filter(_.formatVersion == Snapshot.CurrentFormatVersion) match {
       case Some(prev) if prev.allVersions.length < maxDeltaChain =>
         // delta over the FULL managed corpus, not just this batch: rows a
@@ -51,6 +51,12 @@ object StreamingIngest {
         // first build, stale format, or compaction point: full rebuild
         IndexBuilder.build(fullCorpus, storeDir, cfg)
     }
+    // optional GC: after a compaction the old delta chain is unreachable
+    // from `current`; vacuumKeepLast >= 0 reclaims it (keeping that many
+    // historical generations for in-flight readers). Default -1 = never
+    // delete — retention is the operator's call (Snapshot.vacuum scaladoc).
+    if (vacuumKeepLast >= 0) Snapshot.vacuum(storeDir, vacuumKeepLast): Unit
+    meta
   }
 
   /** Attach a streaming source: every micro-batch lands as one snapshot

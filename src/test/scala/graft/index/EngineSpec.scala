@@ -171,6 +171,21 @@ class EngineSpec extends SparkTestBase {
     IndexBuilder.build(CodeCorpus.generate(spark, 1500L, seed = 7L), dir, cfg)
     assert(saltsOf("import") > 1, "compaction must re-salt by current df")
     assert(resolved() == before, "compaction must not change answers")
+
+    // vacuum: the pre-compaction chain (v1, v2) is unreachable from the
+    // current full build (v3); keepLast=1 retains the newest unreferenced
+    // generation, a second keepLast=0 pass reclaims it too. Answers from
+    // the current snapshot never change.
+    assert(Snapshot.listVersions(dir) == Seq(1, 2, 3))
+    assert(Snapshot.vacuum(dir, keepLast = 1) == Seq(1))
+    assert(Snapshot.listVersions(dir) == Seq(2, 3))
+    assert(!new java.io.File(s"$dir/v1").exists())
+    assert(Snapshot.vacuum(dir, keepLast = 0) == Seq(2))
+    assert(Snapshot.listVersions(dir) == Seq(3))
+    assert(resolved() == before, "vacuum must not touch the current chain")
+    // idempotent + never eats referenced generations
+    assert(Snapshot.vacuum(dir, keepLast = 0).isEmpty)
+    assert(new java.io.File(s"$dir/v3").exists())
   }
 
   test("all three serving tiers are bit-identical") {
