@@ -91,4 +91,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out(0).start == ts(0) && out(0).end == ts(5))
     assert(out(1).n_events == 1 && out(1).total_cents == 400)
   }
+
+
+  test("streaming dedup gate: first-seen wins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingDedup.firstSeen(
+        stream.toDF().toDF("doc_id", "ts", "text"), "text", "ts")
+      .writeStream.format("memory").queryName("dedup_gate")
+      .outputMode("append").start()
+    // batch 1: two distinct texts + an in-batch duplicate
+    stream.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma"),
+      (3L, ts(2), "alpha beta"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate within the watermark + a new text
+    stream.addData((4L, ts(10), "alpha beta"), (5L, ts(11), "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_gate")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // first occurrence of each content hash, and only that one
+    assert(out.map(_._2) == Set("alpha beta", "gamma", "delta"))
+    assert(out.contains((1L, "alpha beta")) && !out.exists(_._1 == 3L) &&
+      !out.exists(_._1 == 4L))
+    // unified semantics: on a bounded batch the same transform is an
+    // EXACT dedup (the downstream sweep's contract)
+    val batchRows = Seq((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma"),
+      (3L, ts(2), "alpha beta"), (4L, ts(10), "alpha beta"),
+      (5L, ts(11), "delta")).toDF("doc_id", "ts", "text")
+    val batchOut = StreamingDedup.firstSeen(batchRows, "text", "ts")
+      .select("text").as[String].collect().toSet
+    assert(batchOut == Set("alpha beta", "gamma", "delta"))
+  }
 }
