@@ -350,6 +350,26 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup removal: candidate pairs from MinHash-LSH →
+    * connected components → drop every row whose cluster label is not
+    * itself (the canonical min-id survivor stays; exact duplicates are a
+    * special case of jaccard 1.0). The corpus never moves: the only
+    * exchanges carry (id, id) pairs and (id, label) tables, and the final
+    * filter is a left-anti join against the loser-id set — the 100 TB
+    * shape for "give me the deduplicated corpus".
+    */
+  def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.8, seed: Long = 42L,
+      maxBucketSize: Int = 64): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, shingleSize, numHashes,
+      bands, minJaccard, seed, maxBucketSize)
+    val losers = connectedComponents(pairs, "idA", "idB")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: block on 4 × 16-bit chunks (a pair within
     * Hamming distance <= 3 must agree on at least one chunk — pigeonhole;
     * larger maxHamming keeps the same blocking and is best-effort beyond 3),

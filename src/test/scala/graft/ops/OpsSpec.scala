@@ -203,6 +203,15 @@ class OpsSpec extends SparkTestBase {
     assert(kept.length == 1000 && kept.forall(_ == "en"))
   }
 
+  test("nearDupSurvivors: losers dropped, min-id canonical kept") {
+    val surv = Dedup.nearDupSurvivors(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // {0,1,2} form one near-dup component (0 survives), {3,5} another
+    // (3 survives), 4 is untouched
+    assert(surv == Set(0L, 3L, 4L))
+  }
+
   test("connected components: min-id labels, chains, determinism") {
     // two components: a 6-node PATH (worst case for plain propagation —
     // pointer jumping must still converge inside the round cap) and a
