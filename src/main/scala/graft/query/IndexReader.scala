@@ -70,22 +70,33 @@ final class IndexReader private (
 
   /** Bulk resolution (J1): on the distributed tier a cold `resolve` pays
     * one dictionary-pushdown job per query with novel tokens; resolving a
-    * batch together runs ONE lookup over the union token set (exact terms
-    * land in the dict cache, so the per-query assembly below is
-    * job-free), then assembles each query's ResolvedQuery identically to
-    * resolve(). Fuzzy queries still expand individually (expansion is
-    * per-token-budget semantics), but their exact-token subset benefits
-    * from the warmed cache.
+    * batch together runs ONE dictionary job over the union token set —
+    * exact lookups warm the dict cache, fuzzy expansion runs once per
+    * union token (expansion is a pure function of the token, so each
+    * message's term set assembles from the shared per-token map exactly
+    * as its own resolve() would have computed it).
     */
   def resolveBulk(texts: Seq[String],
       fuzzy: Boolean = false): Seq[Searcher.ResolvedQuery] = {
+    val analyzed = texts.map(t =>
+      graft.analyzer.Analyzers.analyze(meta.analyzer, t).distinct.sorted.toSeq)
+    val union = analyzed.flatten.distinct.sorted
+    if (union.isEmpty)
+      return analyzed.map(_ => Searcher.ResolvedQuery(Seq.empty, meta))
     if (!fuzzy) {
-      val union = texts
-        .flatMap(t => graft.analyzer.Analyzers.analyze(meta.analyzer, t))
-        .distinct.sorted
-      if (union.nonEmpty) lookup(union) // one job warms the dict cache
+      lookup(union) // one job; per-message assembly below is cache-only
+      analyzed.map(toks =>
+        Searcher.ResolvedQuery(lookup(toks).sortBy(_.term), meta))
+    } else {
+      val byToken: Map[String, Seq[Searcher.TermStats]] = dictMap match {
+        case Some(m) => union.map(t => t -> FuzzyExpand.expand(m, Seq(t))).toMap
+        case None => Searcher.expandFuzzySparkByToken(spark, dictDf, union)
+      }
+      analyzed.map { toks =>
+        val terms = toks.flatMap(t => byToken.getOrElse(t, Nil)).distinct
+        Searcher.ResolvedQuery(terms.sortBy(_.term), meta)
+      }
     }
-    texts.map(t => resolve(t, fuzzy))
   }
 
   /** Distributed-tier dictionary entries resolved so far (a snapshot is

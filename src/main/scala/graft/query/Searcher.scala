@@ -81,8 +81,19 @@ object Searcher {
     * preferring smaller edit distance then higher df).
     */
   private[query] def expandFuzzySpark(spark: SparkSession,
-      dict: DataFrame, tokens: Seq[String]): Seq[TermStats] = {
-    if (tokens.isEmpty) return Seq.empty
+      dict: DataFrame, tokens: Seq[String]): Seq[TermStats] =
+    expandFuzzySparkByToken(spark, dict, tokens)
+      .values.flatten.toSeq.distinct
+
+  /** Per-token view of the same expansion — ONE dictionary job for any
+    * number of tokens; bulk callers resolve a whole batch's union token
+    * set and assemble per-message term sets from this map (expansion is a
+    * pure function of the token, so per-message assembly is exactly what
+    * per-message resolve() would have computed).
+    */
+  private[query] def expandFuzzySparkByToken(spark: SparkSession,
+      dict: DataFrame, tokens: Seq[String]): Map[String, Seq[TermStats]] = {
+    if (tokens.isEmpty) return Map.empty
     val exact = tokens.filter(t => EditDistance.autoFuzzyEdits(t.length) == 0)
     val fuzzyToks = tokens.filter(t => EditDistance.autoFuzzyEdits(t.length) > 0)
 
@@ -126,10 +137,10 @@ object Searcher {
 
     (exactStats ++ fuzzyStats)
       .groupBy(_._1)
-      .flatMap { case (_, ms) =>
-        ms.sortBy { case (_, ts, d) => (d, -ts.df, ts.term) }.take(50).map(_._2)
+      .map { case (q, ms) =>
+        q -> ms.sortBy { case (_, ts, d) => (d, -ts.df, ts.term) }
+          .take(50).map(_._2)
       }
-      .toSeq.distinct
   }
 
   /** Exact distributed scorer — the rank-parity oracle (replaces the

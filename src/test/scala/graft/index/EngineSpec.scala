@@ -188,6 +188,22 @@ class EngineSpec extends SparkTestBase {
     assert(new java.io.File(s"$dir/v3").exists())
   }
 
+  test("resolveBulk equals per-message resolve (exact + fuzzy, both tiers)") {
+    import graft.query.IndexReader
+    val msgs = Seq("import spark", "the runner runs quickly",
+      "improt parsre", "posting merge segment", "")
+    // driver-cached tier AND distributed tier (zero driver budgets)
+    for (cfg <- Seq(IndexReader.ReaderConfig(),
+      IndexReader.ReaderConfig(0, 0, 64L << 20))) {
+      val r = IndexReader.open(spark, indexDir, cfg)
+      for (fuzzy <- Seq(false, true)) {
+        val bulk = r.resolveBulk(msgs, fuzzy).map(_.terms)
+        val single = msgs.map(m => r.resolve(m, fuzzy).terms)
+        assert(bulk == single, s"fuzzy=$fuzzy cfg=$cfg")
+      }
+    }
+  }
+
   test("all three serving tiers are bit-identical") {
     import graft.query.IndexReader
     // zero budgets force the persisted-Dataset scatter-gather path
