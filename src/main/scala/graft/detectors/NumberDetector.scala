@@ -24,9 +24,23 @@ trait NumberDetection {
   * boundary semantics must be these explicit character classes.
   */
 object SpanBoundary {
-  def pattern(original: String): Pattern = Pattern.compile(
-    "(?:^|(?<=[\\s\"',\\-?]))" + Pattern.quote(original) +
-      "(?=[\\s!\"%',?.\\-]|$)")
+  // detected spans repeat heavily across a corpus ("50", "100", ...), and
+  // pattern() is called once per DETECTION — a bounded cache turns the
+  // per-match Pattern.compile into a hash lookup (Pattern is immutable and
+  // thread-safe; the cap bounds executor memory on adversarial vocabularies
+  // — a clear, not an LRU, because hits dominate so refill is cheap)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
+
+  def pattern(original: String): Pattern = {
+    val hit = cache.get(original)
+    if (hit != null) return hit
+    val p = Pattern.compile(
+      "(?:^|(?<=[\\s\"',\\-?]))" + Pattern.quote(original) +
+        "(?=[\\s!\"%',?.\\-]|$)")
+    if (cache.size() > 4096) cache.clear()
+    cache.putIfAbsent(original, p)
+    p
+  }
 }
 
 /** Number detection: digits (with thousands commas, decimal point, scale
