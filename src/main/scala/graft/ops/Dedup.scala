@@ -303,8 +303,9 @@ object Dedup {
     * keyed on ids (the 100 TB shape — no adjacency ever materializes on
     * one node). Deterministic: min() fixpoints are unique, so partitioning
     * and round count cannot change the answer. Iteration caps at `maxIter`
-    * with a convergence check per round (one count job each — bounded by
-    * log diameter, in practice 3-5 rounds for near-dup clusters).
+    * with a convergence check per round (a filter-isEmpty scan of the
+    * round's checkpointed blocks — no extra join; rounds are bounded by
+    * log diameter, in practice 3-5 for near-dup clusters).
     *
     * Returns (id, label) for every id appearing in `pairs`; singletons
     * (docs with no dup pair) are absent by construction — callers keep the
@@ -330,21 +331,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
+      // carry the pre-round label through as `prev` so the convergence
+      // check is a scan of the checkpointed result, not a third join
       val propagated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // (b) pointer jump: label := label(label) — compresses chains so a
       // long path converges logarithmically
       val byLabel = labels
         .select(col("id").as("label"), col("label").as("jump"))
       val next = propagated.join(byLabel, Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     labels
