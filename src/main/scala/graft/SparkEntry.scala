@@ -467,6 +467,8 @@ object SparkEntry {
     Searcher.resolveHits(s, dir, hits)
       .select(col("path").cast("long").as("doc_id"),
         round(col("score") * 1e6).cast("long").as("score_q"))
+      // global (partition-less) window is safe here: its input is the
+      // already-top-k-bounded hit set (<= k rows), never the corpus
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("score_q"), col("doc_id"))).cast("int"))
       .orderBy("rank")
