@@ -192,14 +192,22 @@ object Dedup {
     * Recall: a pair whose vectors straddle one SRP hyperplane lands in
     * buckets at Hamming distance 1 and would be invisible to exact-bucket
     * blocking. `probeHamming = 1` (default) closes that: each row is ALSO
-    * emitted under every 1-bit-flip neighbor bucket (the lshKnn probe
-    * pattern), and candidates join probe-bucket-of-A == home-bucket-of-B —
-    * exactly the pairs with bucket Hamming distance <= probeHamming, each
-    * matched once (the probe set has distinct buckets). `probeHamming = 0`
-    * is the old exact-bucket blocking. The width cap applies to HOME
-    * buckets before expansion, so the fan-out stays <= (nBits+1) x capped
-    * rows. Every arithmetic step is an explicit-order double fold, so the
-    * DuckDB oracle replays it bit-identically.
+    * emitted under its 1-bit-flip neighbor buckets, but ONLY the flips
+    * that are numerically greater than home (bit 0 -> 1) — a Hamming-1
+    * pair's two buckets differ in exactly one bit, so the lower-bucket row
+    * probes the higher-bucket row's home exactly once and the reverse
+    * direction never materializes (vs emitting all nBits flips and
+    * discarding half the matches at the id filter: expected probe fan-out
+    * drops from nBits to nBits/2 per row and the join never sees the
+    * mirror-image candidates at all). Probe matches re-canonicalize with
+    * least/greatest on ids; cosine is evaluated on (va, vb) as joined —
+    * bit-identical either way since every per-element product and the
+    * final sqrt(na)*sqrt(nb) are commutative. `probeHamming = 0` is plain
+    * exact-bucket blocking. The width cap applies to HOME buckets before
+    * expansion. Every arithmetic step is an explicit-order double fold, so
+    * the DuckDB oracle replays the identical output set bit-identically
+    * (the oracle constrains bucket Hamming distance, not probe direction,
+    * so it is unchanged by this optimization).
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, nBits: Int = 6, seed: Long = 42L, minCosine: Double = 0.3,
@@ -216,13 +224,6 @@ object Dedup {
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
       .localCheckpoint(true)
-    val probeCols: Seq[Column] =
-      col("srp_bucket") +: (if (probeHamming >= 1)
-        (0 until nBits).map(b => col("srp_bucket").bitwiseXOR(lit(1L << b)))
-      else Seq.empty)
-    val a = capped
-      .select(explode(array(probeCols: _*)).as("srp_bucket"),
-        col("_id").as("idA"), col("_v").as("va"))
     val b = capped.select(col("srp_bucket"), col("_id").as("idB"), col("_v").as("vb"))
     // compiled UDF, not the aggregate/zip_with column expression: Spark
     // evaluates higher-order functions INTERPRETED per element, which
@@ -240,11 +241,29 @@ object Dedup {
       val nn = math.sqrt(na) * math.sqrt(nb)
       if (nn > 0) dot / nn else 0.0
     }
-    a.join(b, Seq("srp_bucket"))
+    val aHome = capped.select(col("srp_bucket"), col("_id").as("idA"), col("_v").as("va"))
+    val homeCand = aHome.join(b, Seq("srp_bucket"))
       .filter(col("idA") < col("idB"))
       .withColumn("cosine", cosU(col("va"), col("vb")))
-      .filter(col("cosine") >= minCosine)
       .select("idA", "idB", "cosine")
+    val cand = if (probeHamming >= 1) {
+      // upward-only probing: flip only 0-bits, so probe > home and each
+      // Hamming-1 bucket pair is enumerated from its lower side exactly once
+      val flips = (0 until nBits).map(bb => col("home").bitwiseXOR(lit(1L << bb)))
+      val aProbe = capped
+        .select(col("srp_bucket").as("home"), col("_id").as("idA"), col("_v").as("va"))
+        .select(explode(array(flips: _*)).as("srp_bucket"), col("home"),
+          col("idA"), col("va"))
+        .filter(col("srp_bucket") > col("home"))
+        .drop("home")
+      val probeCand = aProbe.join(b, Seq("srp_bucket"))
+        .filter(col("idA") =!= col("idB"))
+        .withColumn("cosine", cosU(col("va"), col("vb")))
+        .select(least(col("idA"), col("idB")).as("idA"),
+          greatest(col("idA"), col("idB")).as("idB"), col("cosine"))
+      homeCand.union(probeCand)
+    } else homeCand
+    cand.filter(col("cosine") >= minCosine)
   }
 
   /** JVM SimHash kernel: 64-bit, per-occurrence bit-majority vote over
