@@ -167,6 +167,41 @@ class OpsSpec extends SparkTestBase {
     assert(exact.subsetOf(probed))
   }
 
+  test("upward-only probing equals brute-force bucket-Hamming<=1 blocking") {
+    // the join enumerates Hamming-1 bucket pairs from the lower bucket
+    // only; this must yield EXACTLY the pairs a brute-force scan over all
+    // id pairs with bucket Hamming <= 1 and cosine >= threshold finds —
+    // regardless of how ids order relative to bucket values
+    val dim = 8
+    val nBits = 5
+    val seed = 7L
+    val model = Similarity.SrpModel(dim, nBits, seed)
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 120L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val minCos = 0.2
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0) dot / nn else 0.0
+    }
+    val brute = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib &&
+        java.lang.Long.bitCount(model.bucketOf(va) ^ model.bucketOf(vb)) <= 1 &&
+        cosine(va, vb) >= minCos
+    } yield (ia, ib)).toSet
+    val got = Dedup.embeddingNearDupPairs(rows.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", dim, nBits = nBits, seed = seed,
+      minCosine = minCos, probeHamming = 1)
+      .select("idA", "idB").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "no duplicate pairs")
+    assert(got.toSet == brute)
+  }
+
   test("deterministic sampling/split: partition, reproducibility, strata") {
     val rows = spark.range(0, 2000).toDF("id")
     val sp = Sampling.split(rows, col("id"), "seed1",
