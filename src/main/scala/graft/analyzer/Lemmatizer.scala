@@ -32,11 +32,16 @@ object Lemmatizer {
 
   /** Bundled starter lemma table (resources/graft/lang/lemma/en.csv —
     * standard irregular verbs, irregular/Latin/Greek plurals,
-    * comparatives): the frequent-word subset a WordNet exception list
-    * covers, consulted by default so out-of-the-box behavior approaches
-    * WordNet on common words. Deployments with a full dictionary still
-    * pass their own table (functions.lemmatize_with) — caller tables take
-    * precedence over this one.
+    * comparatives, PLUS the morphy-membership stand-in: identity entries
+    * protecting frequent words the suffix rules would mangle ("news",
+    * "string", "speed") and silent-e corrections for the -re/-le/-ate/
+    * -ide/-ine/-ype families whose stems end in consonants restoreE's
+    * CVC set cannot cover): the frequent-word subset a WordNet exception
+    * list + dictionary check covers, consulted by default so
+    * out-of-the-box behavior approaches WordNet on common words.
+    * Deployments with a full dictionary still pass their own table
+    * (functions.lemmatize_with) — caller tables take precedence over
+    * this one.
     */
   lazy val bundled: Map[String, String] = {
     val in = getClass.getResourceAsStream("/graft/lang/lemma/en.csv")
