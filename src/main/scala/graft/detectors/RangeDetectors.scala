@@ -60,7 +60,8 @@ final class NumberRangeDetector(entityName: String = "number_range",
     unitsMap: Map[String, String] = Map.empty,
     keywords: RangeKeywords = RangeKeywords.en,
     numberDetectorOverride: Option[NumberDetection] = None,
-    requireUnit: Boolean = false) {
+    requireUnit: Boolean = false,
+    customBetween: Boolean = true) {
 
   private val tag = s"__${entityName}__"
   private val numberDetector: NumberDetection = numberDetectorOverride
@@ -75,6 +76,11 @@ final class NumberRangeDetector(entityName: String = "number_range",
 
   private val ph = raw"__dnumber_(\d+)__"
   private val pMinMax = Pattern.compile(raw"$ph\s*$sep\s*$ph")
+  // the reference's en subclass adds 'between <num> and|- <num>' as a
+  // custom sub-detector ranked right after min_max (en/
+  // number_range_detection.py:_custom_num_range_between_num_and_num);
+  // only en has it — language-generic detectors pass customBetween=false
+  private val pBetween = Pattern.compile(raw"between\s+$ph\s+(?:and|-)\s+$ph")
   private val pMinPrefix = Pattern.compile(raw"$minPrefix\s+$ph")
   private val pMinSuffix = Pattern.compile(raw"$ph\s+$minSuffix")
   private val pMaxPrefix = Pattern.compile(raw"$maxPrefix\s+$ph")
@@ -126,11 +132,21 @@ final class NumberRangeDetector(entityName: String = "number_range",
 
     def numAt(m: java.util.regex.Matcher, g: Int): Detected = byIdx(m.group(g).toInt)
 
-    run(pMinMax) { m =>
+    // reference swaps when min > max (_get_number_range:255-258) — python
+    // float() comparison, so compare as doubles
+    def ordered(a: Detected, b: Detected): (String, String) =
+      if (a.value.toDouble > b.value.toDouble) (b.value, a.value)
+      else (a.value, b.value)
+
+    def minMaxRange(m: java.util.regex.Matcher): DetectedRange = {
       val lo = numAt(m, 1); val hi = numAt(m, 2)
-      DetectedRange(Some(lo.value), Some(hi.value),
+      val (mn, mx) = ordered(lo, hi)
+      DetectedRange(Some(mn), Some(mx),
         lo.unit.orElse(hi.unit), original(m.group()))
     }
+
+    run(pMinMax)(minMaxRange)
+    if (customBetween) run(pBetween)(minMaxRange)
     run(pMinPrefix) { m =>
       val n = numAt(m, 1)
       DetectedRange(Some(n.value), None, n.unit, original(m.group()))

@@ -169,6 +169,7 @@ object NumberRangeDetectors {
         new graft.detectors.NumberRangeDetector(entityName,
           keywords = graft.detectors.RangeKeywords.fromTable(
             NumberLangData.rangeKeywords(l)),
+          customBetween = false, // en-subclass-only sub-detector
           numberDetectorOverride = Some(NumberDetectors.forLanguage(
             l, unitType, entityName, minDigits = 1, maxDigits = 100)),
           // reference drops ranges whose number carries no unit of the
