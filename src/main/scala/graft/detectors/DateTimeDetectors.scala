@@ -340,9 +340,37 @@ final class DateDetector(referenceDate: LocalDate,
   * nn ∈ {am, pm, hrs, df} (standard_time_regex.py:64-92); meridiem hours
   * are NOT normalized (12:35 am stays hh=12 — reference time yaml en_1).
   */
-final case class DetectedTime(hh: Int, mm: Int, nn: String, original: String)
+final case class DetectedTime(hh: Int, mm: Int, nn: String, original: String,
+    tz: String = "UTC")
 
 object TimeDetector {
+  /** Timezone-abbreviation table (resources/graft/lang/time/en/
+    * timezones.csv, mirrored from the reference's en time data): informal
+    * variant (est, indian time, akst) → preferred Olson name
+    * (America/New_York). The reference threads an optional tz capture
+    * through its clock patterns (en/time_detection.py:100,625); here the
+    * clock+meridiem form (the only one the reference's own test YAML
+    * exercises for tz) captures it.
+    */
+  lazy val timezoneMap: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/lang/time/en/timezones.csv")
+    if (in == null) Map.empty
+    else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1)
+        .flatMap { line =>
+          val cols = line.split(",", -1)
+          if (cols.length < 3) Nil
+          else cols(1).split("\\|").map(v =>
+            v.strip().toLowerCase(java.util.Locale.ROOT) -> cols(2).strip())
+        }.toMap
+    } finally in.close()
+  }
+
+  /** Longest-first alternation of the tz variants (regex-escaped). */
+  lazy val timezoneAlt: String =
+    if (timezoneMap.isEmpty) raw"\b\B" // unmatchable
+    else timezoneMap.keys.toSeq.sortBy(-_.length)
+      .map(java.util.regex.Pattern.quote).mkString("|")
   /** Deterministic stand-in for the reference's wall-clock `now` in the
     * bare-time meridiem rule (_get_meridiem, time_detection.py:1393-1432):
     * a data pipeline must not change answers between runs, so the
@@ -358,35 +386,54 @@ final class TimeDetector(entityName: String = "time",
 
   private val tag = s"__${entityName}__"
 
-  private val meridiem = raw"(a\.?m\.?|p\.?m\.?)"
-  private val clockMeridiem = Pattern.compile(
-    raw"\b(\d{1,2})\s*(?:[:. ]\s*(\d{2}))?\s*$meridiem")
-  private val clock24 = Pattern.compile(
-    raw"\b(\d{1,2})\s*[:.]\s*(\d{2})\s*(?:hrs|hours|hr)?\b")
+  // optional timezone capture group, threaded through the clock patterns
+  // exactly like the reference's {timezone} template (en/time_detection.py
+  // :100; choices longest-first, informal variant → Olson via the CSV)
+  private val tzGrp = s"((?:${TimeDetector.timezoneAlt}))?"
+  private val tzAlt = TimeDetector.timezoneAlt
+  // 12h with minutes (_detect_12_hour_format, :712-769): hour 1-12 with
+  // optional leading 0, "-"/space extra separators, optional tz both sides
+  private val p12h = Pattern.compile(
+    raw"\b($tzGrp\s*(0?[2-9]|0?1[0-2]?)[\s-]*(?::|\.|\s)?[\s-]*?([0-5][0-9])[\s-]*?(pm|am|a\.m\.?|p\.m\.?)\s*$tzGrp)\b")
+  // 12h without minutes (_detect_12_hour_without_min, :770-820)
+  private val p12hNoMin = Pattern.compile(
+    raw"\b($tzGrp\s*(0?[2-9]|0?1[0-2]?)[\s-]*(am|pm|a\.m\.?|p\.m\.?)\s*$tzGrp)\b")
+  // "in/about/after N mins|hours" (_detect_time_with_difference, :822-874)
   private val diffTime = Pattern.compile(
-    raw"\b(?:in|after)\s+(\d{1,3})\s*(min(?:ute)?s?|h(?:ou)?rs?)\b")
-  // "X mins/hours later" (en/time_detection.py:876-916)
+    raw"\b((?:in\sabout|in\saround|after|about|in)\s(\d+)\s?(min|mins|minutes|hour|hours|hrs|hr))\b")
+  // "X mins/hours later" (:876-916)
   private val laterTime = Pattern.compile(
-    raw"\b(\d{1,3})\s?(min(?:ute)?s?|h(?:ou)?rs?)\s?(?:later|ltr|latr|lter)s?\b")
+    raw"\b((\d+)\s?(min|mins|minutes?|hour|hours|hrs|hr)\s?(?:later|ltr|latr|lter)s?)\b")
   // "every 6 hours", "every 30 mins" (:918-958, nn = 'ev')
   private val everyX = Pattern.compile(
-    raw"\b(?:every|evry|evy|evri)\s*(\d{1,3})\s*(min(?:ute)?s?|h(?:ou)?rs?)\b")
+    raw"\b((?:every|evry|evy|evri)\s*(\d+)\s*(min|mins|minutes|hour|hours|hrs|hr))\b")
   // "once in 2 days" → every 48 hours (:960-994)
   private val onceInX = Pattern.compile(
-    raw"\b(?:once|onc|1se)\s*(?:in every|in|every)?\s*(\d+|a)\s?days?\b")
-  // hh:mm + a daytime word instead of am/pm (:1098-1165): morning words →
-  // am, noon/evening words → pm, night words → am below 5 else pm
-  private val wordClock = Pattern.compile(
-    raw"\b(0?[1-9]|1[0-2])[:.]([0-5][0-9])\b(?!\s?(?:am|pm|a\.m\.?|p\.m\.?|\d))")
-  private val amWords = Pattern.compile(
-    raw"\b(morning|early|subah|mrng|mrning|savere)\b")
-  private val pmWords = Pattern.compile(
-    raw"\b(noon|afternoon|evening|evng|evning|sham|lunch|dinner)\b")
-  private val nightWords = Pattern.compile(
-    raw"\b(night|nite|tonight|latenight|tonit|nit|rat)\b")
-  // "19 hrs" / "at 07 hours" — 24h hour-only military form
+    raw"\b((?:once|onc|1se)\s*(?:in|every|evry|in every)?\s*(\d+|a)\s?(?:day|days))\b")
+  // restricted 24h: hour 00/13-23 (or bare 1) + minutes, optional h/hrs
+  // suffix, guarded lookahead (_detect_restricted_24_hour_format,
+  // :1050-1096); nn via _get_meridiem (0 / >= 12 → 'hrs')
   private val restricted24 = Pattern.compile(
-    raw"\b(\d{1,2})\s?(?:hrs|hours)\b")
+    raw"\b($tzGrp\s*(00?|1[3-9]?|2[0-3])[:.\s]([0-5][0-9])\s*(?:h|hr|hrs)?\s*$tzGrp)(?!\s*(?:am|pm|a\.m\.?|p\.m\.?|(?:h|hrs|hr)|(?:$tzAlt)|\d))\b")
+  // hh:mm/hh mm + a daytime word instead of am/pm (:1098-1165): morning
+  // words → am, noon/evening words → pm, night words → am when hh = 12 or
+  // hh < 5 else pm; separator includes space, word probes \s-wrapped
+  private val wordClock = Pattern.compile(
+    raw"\b((0?[1-9]|1[0-2])[:.\s]([0-5][0-9]))(?!\s?(?:am|pm|a\.m\.?|p\.m\.?|\d))")
+  private val amWords = Pattern.compile(
+    raw"\s(morning|early|subah|mrng|mrning|savere)\s")
+  private val pmWords = Pattern.compile(
+    raw"\s(noon|afternoon|evening|evng|evning|sham|lunch|dinner)\s")
+  private val nightWords = Pattern.compile(
+    raw"\s(night|nite|tonight|latenight|tonit|nit|rat)\s")
+  // 24h format (_detect_24_hour_format, :1226-1276): branch 1 = hour +
+  // [:.\s] + minutes with a guarded lookahead (original EXCLUDES any
+  // trailing hours-word); branch 2 (only when branch 1 finds nothing) =
+  // hour + optional minutes + REQUIRED hours-word (original includes it)
+  private val p24a = Pattern.compile(
+    raw"\b($tzGrp\s*(00?|0?[2-9]|0?1[0-9]?|2[0-3])[:.\s]([0-5][0-9])\s*$tzGrp)(?!\s*(?:am|pm|a\.m\.?|p\.m\.?|(?:$tzAlt)|\d))")
+  private val p24b = Pattern.compile(
+    raw"\b($tzGrp\s*(00?|0?[2-9]|0?1[0-9]?|2[0-3])(?:[:.\s]?([0-5][0-9]))?\s+(?:hours?|hrs?)\s*$tzGrp\b)")
   // prefix word + bare 12h hour, meridiem from a daytime word elsewhere in
   // the message (_detect_12_hour_word_format2, time_detection.py:1165-1224).
   // Reference-bug parity: the reference pattern has NO leading \b either,
@@ -429,7 +476,10 @@ final class TimeDetector(entityName: String = "time",
   }
 
   def detect(text0: String): Seq[DetectedTime] = {
-    var processed = text0.toLowerCase(java.util.Locale.ROOT)
+    // reference pads the text with a space on both ends (detect_time:
+    // self.text = ' ' + text + ' ') — the \s-wrapped day-word probes
+    // depend on it at message edges
+    var processed = " " + text0.toLowerCase(java.util.Locale.ROOT) + " "
     val results = ListBuffer.empty[(Int, DetectedTime)]
 
     def consume(original: String): Int = {
@@ -447,61 +497,88 @@ final class TimeDetector(entityName: String = "time",
       if (at >= 0) results += ((at, t))
     }
 
-    // 1. difference form first ("in 20 mins" must not parse as clock)
+    def tzOf(g: String*): String = g.flatMap(Option(_)).headOption
+      .flatMap(TimeDetector.timezoneMap.get).getOrElse("UTC")
+
+    // Sub-detector order mirrors the reference's _detect_time pipeline
+    // (en/time_detection.py:145-215, form_check=False; the range
+    // sub-detectors live in TimeRangeDetector).
+    // 1. 12h with minutes
+    locally {
+      val m = p12h.matcher(processed)
+      val found = ListBuffer.empty[DetectedTime]
+      while (m.find()) {
+        val nn = if (m.group(5).startsWith("a")) "am" else "pm"
+        found += DetectedTime(m.group(3).toInt, m.group(4).toInt, nn,
+          m.group(1).strip(), tzOf(m.group(2), m.group(6)))
+      }
+      found.foreach(add)
+    }
+    // 2. 12h without minutes
+    locally {
+      val m = p12hNoMin.matcher(processed)
+      val found = ListBuffer.empty[DetectedTime]
+      while (m.find()) {
+        val nn = if (m.group(4).startsWith("a")) "am" else "pm"
+        found += DetectedTime(m.group(3).toInt, 0, nn,
+          m.group(1).strip(), tzOf(m.group(2), m.group(5)))
+      }
+      found.foreach(add)
+    }
+    // 3. relative difference ("in 15mins", "about 25 minutes") → df
     locally {
       val m = diffTime.matcher(processed)
       val found = ListBuffer.empty[DetectedTime]
       while (m.find()) {
-        val n = m.group(1).toInt
-        val isMin = m.group(2).startsWith("m")
+        val n = m.group(2).toInt
+        val isMin = m.group(3).startsWith("m")
         found += DetectedTime(if (isMin) 0 else n, if (isMin) n else 0, "df",
-          m.group().strip())
+          m.group(1).strip())
       }
       found.foreach(add)
     }
-    // 1b. "X mins later" (df), "every X hours" / "once in X days" (ev)
+    // 4-6. "X mins later" (df), "every X hours" / "once in X days" (ev)
     locally {
       val m = laterTime.matcher(processed)
       val found = ListBuffer.empty[DetectedTime]
       while (m.find()) {
-        val n = m.group(1).toInt
-        val isMin = m.group(2).startsWith("m")
+        val n = m.group(2).toInt
+        val isMin = m.group(3).startsWith("m")
         found += DetectedTime(if (isMin) 0 else n, if (isMin) n else 0, "df",
-          m.group().strip())
+          m.group(1).strip())
       }
       found.foreach(add)
       val m2 = everyX.matcher(processed)
       val found2 = ListBuffer.empty[DetectedTime]
       while (m2.find()) {
-        val n = m2.group(1).toInt
-        val isMin = m2.group(2).startsWith("m")
+        val n = m2.group(2).toInt
+        val isMin = m2.group(3).startsWith("m")
         found2 += DetectedTime(if (isMin) 0 else n, if (isMin) n else 0, "ev",
-          m2.group().strip())
+          m2.group(1).strip())
       }
       found2.foreach(add)
       val m3 = onceInX.matcher(processed)
       val found3 = ListBuffer.empty[DetectedTime]
       while (m3.find()) {
-        val days = if (m3.group(1) == "a") 1 else m3.group(1).toInt
-        found3 += DetectedTime(24 * days, 0, "ev", m3.group().strip())
+        val days = if (m3.group(2) == "a") 1 else m3.group(2).toInt
+        found3 += DetectedTime(24 * days, 0, "ev", m3.group(1).strip())
       }
       found3.foreach(add)
     }
-    // 2. clock with meridiem
+    // 7. restricted 24h (00/13-23 + minutes; nn = within-12h meridiem,
+    // 0 / >= 12 short-circuit to 'hrs')
     locally {
-      val m = clockMeridiem.matcher(processed)
+      val m = restricted24.matcher(processed)
       val found = ListBuffer.empty[DetectedTime]
       while (m.find()) {
-        val hh = m.group(1).toInt
-        val mm = Option(m.group(2)).map(_.toInt).getOrElse(0)
-        if (hh >= 1 && hh <= 12 && mm < 60) {
-          val nn = if (m.group(3).startsWith("a")) "am" else "pm"
-          found += DetectedTime(hh, mm, nn, m.group().strip())
-        }
+        val hh = m.group(3).toInt
+        val mm = m.group(4).toInt
+        found += DetectedTime(hh, mm, meridiemOf(hh, mm), m.group(1).strip(),
+          tzOf(m.group(2), m.group(5)))
       }
       found.foreach(add)
     }
-    // 2b. clock + daytime word ("5:30 evening", "02:59 morning")
+    // 8. clock + daytime word ("5:30 evening", "02:59 morning")
     locally {
       val hasAm = amWords.matcher(processed).find()
       val hasPm = pmWords.matcher(processed).find()
@@ -510,18 +587,18 @@ final class TimeDetector(entityName: String = "time",
         val m = wordClock.matcher(processed)
         val found = ListBuffer.empty[DetectedTime]
         while (m.find()) {
-          val hh = m.group(1).toInt
-          val mm = m.group(2).toInt
+          val hh = m.group(2).toInt
+          val mm = m.group(3).toInt
           val nn =
             if (hasAm) "am"
             else if (hasPm) "pm"
-            else if (hh < 5) "am" else "pm" // night words
-          found += DetectedTime(hh, mm, nn, m.group().strip())
+            else if (hh == 12 || hh < 5) "am" else "pm" // night words (:1158)
+          found += DetectedTime(hh, mm, nn, m.group(1).strip())
         }
         found.foreach(add)
       }
     }
-    // 2c. prefix word + bare hour with a daytime word ("at 8 in the
+    // 9. prefix word + bare hour with a daytime word ("at 8 in the
     // morning", "on 12 night"); NO daytime word anywhere → the whole
     // sub-detector aborts, exactly like the reference's early return
     locally {
@@ -540,30 +617,30 @@ final class TimeDetector(entityName: String = "time",
       }
       found.foreach(add)
     }
-    // 3. 24h clock — meridiem via the within-12h rule for hours 1-11
-    // (reference _detect_24_hour_format:1267 calls _get_meridiem; only
-    // hh = 0 / hh >= 12 short-circuit to 'hrs')
+    // 10. 24h format — branch 1 (hour + minutes, lookahead-guarded; the
+    // original excludes a trailing hours-word), branch 2 only when branch
+    // 1 finds nothing (optional minutes + required hours-word)
     locally {
-      val m = clock24.matcher(processed)
+      val m = p24a.matcher(processed)
       val found = ListBuffer.empty[DetectedTime]
       while (m.find()) {
-        val hh = m.group(1).toInt
-        val mm = m.group(2).toInt
-        if (hh <= 23 && mm < 60)
-          found += DetectedTime(hh, mm, meridiemOf(hh, mm), m.group().strip())
+        val hh = m.group(3).toInt
+        val mm = m.group(4).toInt
+        found += DetectedTime(hh, mm, meridiemOf(hh, mm), m.group(1).strip(),
+          tzOf(m.group(2), m.group(5)))
       }
-      found.foreach(add)
-    }
-    // 3b. restricted 24h without minutes: "at 19 hrs" (reference
-    // _detect_restricted_24_hour_format)
-    locally {
-      val m = restricted24.matcher(processed)
-      val found = ListBuffer.empty[DetectedTime]
-      while (m.find()) {
-        val hh = m.group(1).toInt
-        if (hh <= 23) found += DetectedTime(hh, 0, "hrs", m.group().strip())
+      if (found.nonEmpty) found.foreach(add)
+      else {
+        val m2 = p24b.matcher(processed)
+        val found2 = ListBuffer.empty[DetectedTime]
+        while (m2.find()) {
+          val hh = m2.group(3).toInt
+          val mm = Option(m2.group(4)).map(_.toInt).getOrElse(0)
+          found2 += DetectedTime(hh, mm, meridiemOf(hh, mm),
+            m2.group(1).strip(), tzOf(m2.group(2), m2.group(5)))
+        }
+        found2.foreach(add)
       }
-      found.foreach(add)
     }
     // 4. prefix word + bare 12h time, meridiem inferred within 12 hours of
     // the reference time ("lets meet at 5 today" → 5 pm when it's noon)

@@ -20,9 +20,31 @@ final class TimeRangeDetector {
   private val pStart = Pattern.compile(raw"(?:from|after|starting)\s+$ph")
   private val pEnd = Pattern.compile(raw"(?:until|till|before|by)\s+$ph")
   private val pLone = Pattern.compile(ph)
+  // 24h range ("10:00 to 14:00") — the reference's
+  // _detect_range_24_hour_format (time_detection.py:342-417) runs BEFORE
+  // the single-time detectors, hardcodes nn='hrs' on both endpoints
+  // (deterministic — no within-12h clock inference), and takes only the
+  // FIRST match (the loop breaks)
+  private val tzGrp = s"((?:${TimeDetector.timezoneAlt}))?"
+  private val p24Range = Pattern.compile(
+    raw"\b((?:from)?$tzGrp\s*(00?|0?[2-9]|0?1[0-9]?|2[0-3])[:.\s]?([0-5][0-9])[\s-]*?$tzGrp\s*" +
+      raw"(?:to|-|till|until|untill|upto|up to)[\s-]*?$tzGrp\s*(00?|0?[2-9]|0?1[0-9]?|2[0-3])[:.\s]?([0-5][0-9])[\s-]*?$tzGrp)" +
+      raw"(?!\s*(?:am|pm|a\.m\.?|p\.m\.?|(?:${TimeDetector.timezoneAlt})|\d))")
 
   def detect(text0: String): Seq[DetectedTimeRange] = {
-    val lowered = text0.toLowerCase(java.util.Locale.ROOT)
+    var lowered = text0.toLowerCase(java.util.Locale.ROOT)
+    val pre = ListBuffer.empty[(Int, DetectedTimeRange)]
+    locally {
+      val m = p24Range.matcher(lowered)
+      if (m.find()) {
+        val orig = m.group(1).strip()
+        val s = DetectedTime(m.group(3).toInt, m.group(4).toInt, "hrs", orig)
+        val e = DetectedTime(m.group(7).toInt, m.group(8).toInt, "hrs", orig)
+        pre += ((m.start(1), DetectedTimeRange(Some(s), Some(e), "range", orig)))
+        lowered = lowered.substring(0, m.start(1)) + "__time_range__" +
+          lowered.substring(m.end(1))
+      }
+    }
     val times = td.detect(lowered)
 
     var tagged = lowered
@@ -112,7 +134,7 @@ final class TimeRangeDetector {
     // (_get_{morning,afternoon,evening,night,default}_time_range,
     // time_detection.py:1434-1722): fire ONLY when no explicit time was
     // detected anywhere in the message (`if not time_list` gate at :200-210)
-    if (times.isEmpty) {
+    if (times.isEmpty && pre.isEmpty) {
       val dayparts = Seq(
         (raw"morning|early|subah|mrng|mrning|savere",
           (12, 0, "am"), (11, 0, "am")),
@@ -142,6 +164,6 @@ final class TimeRangeDetector {
       }
     }
 
-    results.sortBy(_._1).map(_._2).toSeq
+    (pre ++ results).sortBy(_._1).map(_._2).toSeq
   }
 }
