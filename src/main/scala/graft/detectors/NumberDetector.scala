@@ -56,7 +56,14 @@ final class NumberDetector(
     // per-language vocabulary (defaults = en; other languages load their
     // reference CSVs via NumberLangData — same engine, swapped tables)
     wordMap: Map[String, NumberWords.NumberVariant] = NumberWords.en,
-    digitScales: Map[String, Long] = NumberWords.enDigitScales)
+    digitScales: Map[String, Long] = NumberWords.enDigitScales,
+    // the reference's unit_type gate on the PLAIN number surface
+    // (number_detection.py:168-194, detect_without_unit=False default):
+    // a number with no unit of the requested type is dropped from the
+    // output (it is still consumed — the filter sits above the language
+    // detector). Range detection passes detect_without_unit=True and
+    // gates per-range instead, so it constructs with requireUnit=false.
+    requireUnit: Boolean = false)
   extends NumberDetection {
 
   private val tag = s"__${entityName}__"
@@ -116,7 +123,8 @@ final class NumberDetector(
         val (consumed, at) = consumeOnceAt(processed, original)
         if (at >= 0) {
           processed = consumed
-          out += ((at, Detected(d.value, unit, original)))
+          if (!requireUnit || unit.isDefined)
+            out += ((at, Detected(d.value, unit, original)))
         }
       }
     }
@@ -129,7 +137,8 @@ final class NumberDetector(
       val (consumed, at) = consumeOnceAt(processed, original)
       if (at >= 0) {
         processed = consumed
-        out += ((at, Detected(value, unit, original)))
+        if (!requireUnit || unit.isDefined)
+          out += ((at, Detected(value, unit, original)))
       }
     }
     out.sortBy(_._1).map(_._2).toSeq

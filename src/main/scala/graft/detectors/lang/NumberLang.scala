@@ -121,7 +121,11 @@ object NumberDetectors {
 
   def forLanguage(lang: String, unitType: Option[String] = None,
       entityName: String = "number", minDigits: Int = 1,
-      maxDigits: Int = 6): NumberDetection = lang match {
+      maxDigits: Int = 6,
+      // reference parity: the PLAIN number surface drops numbers without
+      // a unit of the requested type (detect_without_unit=False); range
+      // detection keeps them (detect_without_unit=True) and gates itself
+      requireUnit: Boolean = false): NumberDetection = lang match {
     case "en" =>
       // word map stays the hardcoded NumberWords.en (CSV + misspelling
       // variants); units come from the en CSV under the same
@@ -130,7 +134,8 @@ object NumberDetectors {
         case Some(ut) => NumberLangData.unitsMap("en", Some(ut))
         case None => Map.empty[String, String]
       }
-      new NumberDetector(entityName, units, minDigits, maxDigits)
+      new NumberDetector(entityName, units, minDigits, maxDigits,
+        requireUnit = requireUnit)
     case "zh-TW" | "zh" =>
       // reference parity: the zh detector never consults units —
       // _detect_number_from_text hardcodes unit None
@@ -147,7 +152,7 @@ object NumberDetectors {
         case None => Map.empty[String, String]
       }
       new NumberDetector(entityName, units, minDigits, maxDigits,
-        t.wordMap, t.digitScales)
+        t.wordMap, t.digitScales, requireUnit = requireUnit)
   }
 }
 

@@ -170,7 +170,10 @@ object functions {
     val u = udf((text: String) =>
       if (text == null) Seq.empty[(String, Option[String], String)]
       else pack(langNumberCache.getOrElseUpdate((language, unitType),
-        lang.NumberDetectors.forLanguage(language, unitType)).detect(text)))
+        // plain surface: numbers without a unit of the requested type are
+        // dropped (reference detect_without_unit=False default)
+        lang.NumberDetectors.forLanguage(language, unitType,
+          requireUnit = unitType.isDefined)).detect(text)))
     c => u(c)
   }
 
