@@ -43,13 +43,48 @@ object PersonName {
     "my name is ", "name is ", "i am ", "i'm ", "this is ", "myself ",
     "call me ")
 
-  /** Does the previous bot message ask for a name? (context_check_botmessage:
-    * punctuation stripped, lowercase, phrase containment.)
+  /** hi name-path language data (reference lang_constants.py hi entries —
+    * PREVIOUS_MESSAGE_VARIATIONS / INDIC_STOPWORDS / COMMON_INDIC_WORDS_
+    * OCCURRING_WITH_NAME / INDIC_BADWORDS / INDIC_QUESTIONWORDS — shipped
+    * verbatim as resources under graft/lang/name/hi/).
     */
-  def nameContext(botMessage: String): Boolean = {
+  private def loadHiSet(name: String): Set[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/lang/name/hi/$name.csv")
+    if (in == null) Set.empty
+    else try scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1)
+      .map(_.strip()).filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+  private lazy val hiPrevVariations = loadHiSet("prev_message_variations")
+  private lazy val hiStopwords = loadHiSet("stopwords")
+  private lazy val hiCommonWithName = loadHiSet("common_with_name")
+  private lazy val hiBadwords = loadHiSet("badwords")
+  private lazy val hiQuestionWords = loadHiSet("questionwords")
+
+  // reference EMOJI_RANGES (ner_v1/constant.py:119-134), joined into one
+  // character class exactly like remove_emojis does
+  private val emojiPattern = java.util.regex.Pattern.compile(
+    "[🇦-🇿🌀-🗿😀-🙏" +
+      "🚀-🛿🤀-🧿‍️" +
+      "☀-➿🏻-🏿℀-⅏←-⇿" +
+      "⌀-⏿①-⓿■-◿]+")
+
+  private val hiUnicodeRange = "ऀ-ॿ" // INDIC_UNICODE_RANGE[hi]
+
+  /** Does the previous bot message ask for a name? (context_check_botmessage:
+    * punctuation stripped, lowercase, space-wrapped phrase containment;
+    * phrase set is per-language — PREVIOUS_MESSAGE_VARIATIONS[language].)
+    */
+  def nameContext(botMessage: String): Boolean = nameContext(botMessage, "en")
+
+  def nameContext(botMessage: String, language: String): Boolean = {
     val cleaned = " " + botMessage.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("\\p{Punct}+", "").strip() + " "
-    nameContextPhrases.exists(p => cleaned.contains(p))
+    val phrases =
+      if (language == "hi") hiPrevVariations.toSeq.map(_.toLowerCase(java.util.Locale.ROOT))
+      else nameContextPhrases
+    phrases.exists(p => cleaned.contains(" " + p.replaceAll("\\p{Punct}+", "") + " ") ||
+      cleaned.contains(p))
   }
 
   private def formatName(tokens: Seq[String], text: String): Seq[DetectedName] = {
@@ -68,8 +103,18 @@ object PersonName {
 
   /** Detect a name in `text`. `botMessage` (the previous bot turn) gates the
     * free-text path exactly like the reference; templates fire without it.
+    * `language = "hi"` takes the reference's INDIC path
+    * (detect_indic_name, name_detection.py:209-243): badword/question
+    * guards, emoji removal, keep-Devanagari-only, stopword +
+    * common-with-name removal, <= 4 tokens → first/middle/last; when the
+    * Devanagari residue is empty but latin text exists, the latin-only
+    * text falls through to the free-text path (the reference's
+    * "name written in latin script" fallback) — the bot-context gate uses
+    * the hi phrase set in both branches.
     */
-  def detect(text: String, botMessage: Option[String] = None): Seq[DetectedName] = {
+  def detect(text: String, botMessage: Option[String] = None,
+      language: String = "en"): Seq[DetectedName] = {
+    if (language == "hi") return detectHi(text, botMessage)
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     val tokens = text.split("\\s+").filter(_.nonEmpty).toSeq
 
@@ -92,6 +137,41 @@ object PersonName {
     if (botMessage.exists(nameContext) && tokens.length < 4) {
       val nameToks = tokens.filter(nameLike)
       if (nameToks.nonEmpty) return formatName(nameToks, text)
+    }
+    Seq.empty
+  }
+
+  private def detectHi(text0: String, botMessage: Option[String]): Seq[DetectedName] = {
+    // bot-context gate applies whenever a bot message is present
+    // (detect_entity:163-166)
+    if (botMessage.exists(b => !nameContext(b, "hi"))) return Seq.empty
+    val spaced = " " + text0 + " "
+    if (hiBadwords.exists(b => spaced.contains(" " + b + " "))) return Seq.empty
+    if (text0.split("\\s+").exists(hiQuestionWords.contains)) return Seq.empty
+    val noEmoji = emojiPattern.matcher(text0).replaceAll("")
+    // keep Devanagari + whitespace only (INDIC_UNICODE_RANGE[hi])
+    val devnag = noEmoji.replaceAll(s"[^$hiUnicodeRange\\s]+", "")
+    val kept = devnag.split(" ").toSeq
+      .filter(w => !hiStopwords.contains(w))
+      .filter(w => !hiCommonWithName.contains(w))
+      .filter(_.nonEmpty)
+    // > 4 tokens or not a contiguous substring of the stripped text → no
+    // Devanagari name (get_indic_names_without_regex:418-421); an empty
+    // result falls through to the latin fallback, like the reference's
+    // `if not entity_value` chain
+    val indic =
+      if (kept.nonEmpty && kept.length <= 4 && devnag.contains(kept.mkString(" ")))
+        formatName(kept, devnag)
+      else Seq.empty
+    if (indic.nonEmpty) return indic
+    // latin fallback: a name typed in latin script under a hi bot message
+    if (noEmoji.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) {
+      val latinOnly = noEmoji.replaceAll("[^a-zA-Z\\s]+", "").strip()
+      val toks = latinOnly.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < 4) {
+        val nameToks = toks.filter(nameLike)
+        if (nameToks.nonEmpty) return formatName(nameToks, latinOnly)
+      }
     }
     Seq.empty
   }

@@ -225,13 +225,15 @@ object functions {
     c => u(c)
   }
 
-  /** Person-name heuristic (F31, documented non-parity): output
-    * array<struct<first_name, middle_name, last_name, original>>.
+  /** Person-name detection (F31; en = heuristic with documented POS
+    * non-parity, hi = the reference's POS-free indic path at full parity):
+    * output array<struct<first_name, middle_name, last_name, original>>.
     */
-  def detect_person_names(botMessage: Option[String] = None): Column => Column = {
+  def detect_person_names(botMessage: Option[String] = None,
+      language: String = "en"): Column => Column = {
     val u = udf((text: String) =>
       if (text == null) Seq.empty[(String, Option[String], Option[String], String)]
-      else PersonName.detect(text, botMessage)
+      else PersonName.detect(text, botMessage, language)
         .map(n => (n.firstName, n.middleName, n.lastName, n.original)))
     c => u(c)
   }

@@ -64,6 +64,40 @@ class AsrNameSpec extends AnyFunSuite {
     // 4+ tokens → the short-message rule blocks the free-text path
     assert(PersonName.detect("here are some words today", bot).isEmpty)
   }
+
+  test("F31: all 5 reference test_cases_person_name.csv cases") {
+    // ner_v1/detectors/textual/name/tests/test_cases_person_name.csv —
+    // the reference's own name test matrix (en free-text under a
+    // name-asking bot message; hi via the POS-free indic path: Devanagari
+    // names and a latin-script name under a hi bot message)
+    val enBot = Some("what is your name")
+    assert(PersonName.detect("pratik sridatt jayarao", enBot) ==
+      Seq(DetectedName("pratik", Some("sridatt"), Some("jayarao"),
+        "pratik sridatt jayarao")))
+    assert(PersonName.detect("Pratik Jayarao", enBot) ==
+      Seq(DetectedName("Pratik", None, Some("Jayarao"), "Pratik Jayarao")))
+    assert(PersonName.detect("Pratik", enBot) ==
+      Seq(DetectedName("Pratik", None, None, "Pratik")))
+    val hiBot = Some("तुम्हारा नाम क्या है")
+    assert(PersonName.detect("प्रतिक जयराओ", hiBot, "hi") ==
+      Seq(DetectedName("प्रतिक", None, Some("जयराओ"), "प्रतिक जयराओ")))
+    assert(PersonName.detect("मेरा नाम pratik jayarao है", hiBot, "hi") ==
+      Seq(DetectedName("pratik", None, Some("jayarao"), "pratik jayarao")))
+  }
+
+  test("F31 hi: badword/question guards and the >4-token rule") {
+    val hiBot = Some("आपका नाम क्या है")
+    // question word in the message → no name
+    assert(PersonName.detect("क्या प्रतिक", hiBot, "hi").isEmpty)
+    // stopword/common-word-only message → nothing left, no latin → empty
+    assert(PersonName.detect("मेरा नाम है", hiBot, "hi").isEmpty)
+    // bot message that does not ask for a name → gated
+    assert(PersonName.detect("प्रतिक जयराओ", Some("आप कहाँ रहते हैं"), "hi").isEmpty)
+    // no bot message: indic path still runs (gate applies only when a
+    // bot message is present, detect_entity:163-166)
+    assert(PersonName.detect("प्रतिक जयराओ", None, "hi") ==
+      Seq(DetectedName("प्रतिक", None, Some("जयराओ"), "प्रतिक जयराओ")))
+  }
 }
 
 /** Banded OSA equivalence: the band must compute the same distances as the
