@@ -45,6 +45,34 @@ object PatternDetectors {
     out.toSeq
   }
 
+  /** Generic serial/PNR codes — the reference's DEFAULT task for any
+    * entity_name other than 'train_pnr' (pnr_detection.py:77-80 task_dict,
+    * _detect_serial_pnr:253-283): a first-match-only chain of four
+    * patterns over the space-padded lowercased text — mixed alnum token,
+    * 'e'-prefixed digit run, [A-Z]{4,20} (dead code in the reference: it
+    * searches the LOWERED text, so it can never match — reproduced for
+    * parity by simply never firing), and a consonant-heavy 4-10 run.
+    * At most ONE code is returned (the reference uses .search, not
+    * findall).
+    */
+  private val serialMixed = Pattern.compile(
+    raw"\s(([0-9]+[a-zA-Z]|[a-zA-Z]+[0-9])[A-Za-z0-9]*)\s")
+  private val serialEDigits = Pattern.compile(raw"\se([0-9]{4,20})\s")
+  private val serialConsonant = Pattern.compile(
+    raw"\s([A-Za-z0-9]*[^AaEeIiOoUu+\-,!@#$$^&*();/|<>\s]{4,10}[A-Za-z0-9]+)[\s.]")
+
+  def serialPnr(text: String): Seq[Detected] = {
+    val padded = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
+    def first(p: Pattern): Option[String] = {
+      val m = p.matcher(padded)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    val pnr = first(serialMixed).filter(_.length > 3)
+      .orElse(first(serialEDigits))
+      .orElse(first(serialConsonant))
+    pnr.map(v => Detected(v, None, v)).toSeq
+  }
+
   /** Phone numbers (lite): optional +CC, 8-13 digit national number with
     * optional separators; returns (countryCallingCode, nationalNumber)
     * packed as value "cc:number" when a calling code is present

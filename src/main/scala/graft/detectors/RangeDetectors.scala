@@ -187,8 +187,10 @@ final class BudgetDetector(minDigits: Int = 2, maxDigits: Int = 5) {
   private val scaleAlt = NumberWords.enDigitScales.keys.toSeq
     .sortBy(-_.length).map(Pattern.quote).mkString("|")
   private val amt = raw"(?:rs\.?|rupees|rupee|inr|\$$)?\s*(\d+(?:[.,]\d+)?)\s*(?:($scaleAlt)\b)?\s*(?:rs\.?|rupees|rupee|inr|bucks)?"
+  // reference pattern (budget_detection.py:308-312) has NO 'between' —
+  // the matched span (and thus original_text) starts at the first amount
   private val pMinMax = Pattern.compile(
-    raw"(?:between\s+)?$amt\s*(?:to|and|-)\s*$amt")
+    raw"(?<=\s)$amt\s*(?:-|to|and|till)\s*$amt")
   private val pMin = Pattern.compile(
     raw"(?:above|over|more than|greater than|at\s?least|minimum|min)\s+$amt")
   private val pMax = Pattern.compile(
