@@ -20,9 +20,22 @@ final case class DetectedDate(dd: Int, mm: Int, yy: Int, dtype: String,
     original: String)
 
 final class DateDetector(referenceDate: LocalDate,
-    entityName: String = "date") {
+    entityName: String = "date",
+    locale: Option[String] = None,
+    pastDateReferenced: Boolean = false) {
 
   private val tag = s"__${entityName}__"
+
+  /** Country code extracted from the locale tail after '-'/'_' (reference
+    * en/date_detection.py:142-153); 'US' prefers the month-first numeric
+    * reading, everything else keeps the day-first default.
+    */
+  private val countryCode: Option[String] =
+    locale.flatMap { l =>
+      val i = l.lastIndexWhere(c => c == '-' || c == '_')
+      if (i >= 0 && i < l.length - 1) Some(l.substring(i + 1).toUpperCase(java.util.Locale.ROOT))
+      else None
+    }
 
   private val monthNames: Map[String, Int] = {
     val full = Seq("january", "february", "march", "april", "may", "june",
@@ -79,6 +92,92 @@ final class DateDetector(referenceDate: LocalDate,
   private val ordinalOnly = Pattern.compile(
     raw"\b(\d{1,2})\s*(?:st|nd|rd|th)(?:\s+(?:of\s+)?(this|next)\s+month)?\b")
 
+  // range family (reference en/date_detection.py:1560-1824, run between the
+  // advanced formats and the ordinal day-month family): day parts use the
+  // reference's own [12][0-9]|3[01]|0?[1-9] alternation
+  private val ddAlt = raw"[12][0-9]|3[01]|0?[1-9]"
+  // "21st to 30th of Jan" (arrival/departure shape, :1560)
+  private val rangeDdToDdOfMmm = Pattern.compile(
+    raw"\b(($ddAlt)\s*(?:nd|st|rd|th)?" +
+      raw"(?:(?:\s*\-\s*)|\s+(?:to|till|se)\s+)" +
+      raw"($ddAlt)\s?(?:nd|st|rd|th)?[\s,]+(?:of\s+)?([a-z]+))\b")
+  // "21st jan to 30th [feb]" (:1686)
+  private val rangeDdMmmToDd = Pattern.compile(
+    raw"\b(($ddAlt)\s?(?:nd|st|rd|th)?[\s,]+(?:of\s+)?([a-z]+)" +
+      raw"(?:(?:\s*\-\s*)|\s+(?:to|till|se)\s+)" +
+      raw"($ddAlt)\s?(?:nd|st|rd|th)?(?:[\s,]+(?:of\s+)?([a-z]+))?)\b")
+  // "21st to 30th of coming month" (:1760)
+  private val rangeDdToDdNextMonth = Pattern.compile(
+    raw"\b(($ddAlt)\s?(?:nd|st|rd|th)?" +
+      raw"(?:(?:\s*\-\s*)|\s+(?:to|till|se)\s+)" +
+      raw"($ddAlt)\s?(?:nd|st|rd|th)?[\s,]+(?:of\s+)?" +
+      raw"(?:next|nxt|comm?ing?|foll?owing?)\s+(?:mo?nth))\b")
+  // "first week of jan" (reference ORDINALS_MAP, temporal/constant.py:120;
+  // runs LAST in the preference order, :1627)
+  private val ordinalsMap: Map[String, Int] = Map(
+    "first" -> 1, "1st" -> 1, "second" -> 2, "2nd" -> 2, "third" -> 3,
+    "3rd" -> 3, "fourth" -> 4, "4th" -> 4, "fifth" -> 5, "5th" -> 5,
+    "sixth" -> 6, "6th" -> 6, "seventh" -> 7, "7th" -> 7, "eighth" -> 8,
+    "8th" -> 8, "ninth" -> 9, "9th" -> 9, "tenth" -> 10, "10th" -> 10,
+    "last" -> -1)
+  private val nthWeekMonth = Pattern.compile(
+    raw"((" + ordinalsMap.keys.toSeq.sortBy(-_.length).mkString("|") +
+      raw")\s+week\s+(?:of\s+)?([a-z]+)(?:\s+month)?)\s")
+
+  private def isValidDate(dd: Int, mm: Int, yy: Int): Boolean =
+    mm >= 1 && mm <= 12 && dd >= 1 &&
+      dd <= LocalDate.of(yy, mm, 1).lengthOfMonth()
+
+  /** Closest (dd, mm, yy) with day `dd` on/after `after` — reference
+    * temporal/utils.py:237-266 (looks ahead at most 3 months).
+    */
+  private def nextDateWithDd(dd: Int, after: LocalDate): Option[(Int, Int, Int)] = {
+    var mm = after.getMonthValue
+    var yy = after.getYear
+    if (dd < after.getDayOfMonth) { val n = after.plusMonths(1); mm = n.getMonthValue; yy = n.getYear }
+    var tries = 0
+    while (tries < 3) {
+      if (isValidDate(dd, mm, yy)) return Some((dd, mm, yy))
+      if (mm == 12) { mm = 1; yy += 1 } else mm += 1
+      tries += 1
+    }
+    None
+  }
+
+  /** Closest (dd, mm, yy) with day `dd` on/before `before` — reference
+    * temporal/utils.py:204-234.
+    */
+  private def previousDateWithDd(dd: Int, before: LocalDate): Option[(Int, Int, Int)] = {
+    var mm = before.getMonthValue
+    var yy = before.getYear
+    if (dd > before.getDayOfMonth) { val p = before.minusMonths(1); mm = p.getMonthValue; yy = p.getYear }
+    var tries = 0
+    while (tries < 3) {
+      if (isValidDate(dd, mm, yy)) return Some((dd, mm, yy))
+      if (mm == 1) { mm = 12; yy -= 1 } else mm -= 1
+      tries += 1
+    }
+    None
+  }
+
+  /** Days of the `weeknumber`-th calendar week (Monday-start, python
+    * calendar.monthcalendar semantics) of mm/yy; -1 = last week — reference
+    * temporal/utils.py:96-113.
+    */
+  private def weekdaysForMonth(weeknumber: Int, mm: Int, yy: Int): Seq[Int] = {
+    val first = LocalDate.of(yy, mm, 1)
+    val offset = first.getDayOfWeek.getValue - 1 // Monday = 0
+    val len = first.lengthOfMonth()
+    val numWeeks = (offset + len + 6) / 7
+    val wk = if (weeknumber == -1) numWeeks else weeknumber
+    if (wk < 1 || wk > numWeeks) Seq.empty
+    else {
+      val lo = (wk - 1) * 7 + 1 - offset
+      val hi = wk * 7 - offset
+      (math.max(1, lo) to math.min(len, hi))
+    }
+  }
+
   private def out(d: LocalDate, dtype: String, original: String) =
     DetectedDate(d.getDayOfMonth, d.getMonthValue, d.getYear, dtype, original)
 
@@ -105,8 +204,20 @@ final class DateDetector(referenceDate: LocalDate,
       if (candidate.isBefore(referenceDate.withDayOfMonth(
         math.min(referenceDate.getDayOfMonth, 28)))) referenceDate.getYear + 1
       else referenceDate.getYear
-    } else if (yRaw.length == 2) 2000 + yRaw.toInt
+    } else if (yRaw.length == 2) normalizeYear2(yRaw.toInt)
     else yRaw.toInt
+  }
+
+  /** Two-digit-year normalization (reference normalize_year,
+    * en/date_detection.py:1985-2014): current century by default; the
+    * PREVIOUS century when a past date is referenced (dob-style bots) and
+    * the two-digit year would otherwise land in the future.
+    */
+  private def normalizeYear2(y2: Int): Int = {
+    val century = referenceDate.getYear / 100
+    if (pastDateReferenced && y2 > referenceDate.getYear % 100)
+      (century - 1) * 100 + y2
+    else century * 100 + y2
   }
 
   def detect(text0: String): Seq[DetectedDate] = {
@@ -129,6 +240,14 @@ final class DateDetector(referenceDate: LocalDate,
       if (at >= 0) results += ((at, d))
     }
 
+    // range sub-detectors emit TWO dates sharing one original span
+    // (reference appends `original` twice, en/date_detection.py:1755-1757):
+    // consume the span once, anchor both results at its position
+    def addShared(ds: Seq[DetectedDate]): Unit = ds.headOption.foreach { h =>
+      val at = consume(h.original)
+      if (at >= 0) ds.foreach(d => results += ((at, d)))
+    }
+
     def valid(dd: Int, mm: Int, yy: Int): Boolean =
       mm >= 1 && mm <= 12 && dd >= 1 &&
         dd <= LocalDate.of(yy, mm, 1).lengthOfMonth()
@@ -146,8 +265,12 @@ final class DateDetector(referenceDate: LocalDate,
       }
       found.foreach(add)
     }
-    // 1. dd/mm/yyyy (d-m-y order, the reference default locale ordering)
-    locally {
+    // 1 / 1b. numeric d-m-y vs m-d-y: ordered alternation, the SECOND
+    // reading only claims spans the first could not. The default (and 'IN')
+    // order is day-first; a 'US' locale country code flips the preference
+    // (reference country_date_detector_preferences,
+    // en/date_detection.py:137-140 + get_exact_date:207-215).
+    def numericDayFirst(): Unit = {
       val m = ddmmyyyy.matcher(processed)
       val found = ListBuffer.empty[DetectedDate]
       while (m.find()) {
@@ -158,9 +281,7 @@ final class DateDetector(referenceDate: LocalDate,
       }
       found.foreach(add)
     }
-    // 1b. mm/dd/yyyy (reference format 2): ordered alternation — only spans
-    // the d-m-y reading could not claim (e.g. 12/25/2024)
-    locally {
+    def numericMonthFirst(): Unit = {
       val m = ddmmyyyy.matcher(processed)
       val found = ListBuffer.empty[DetectedDate]
       while (m.find()) {
@@ -171,6 +292,8 @@ final class DateDetector(referenceDate: LocalDate,
       }
       found.foreach(add)
     }
+    if (countryCode.contains("US")) { numericMonthFirst(); numericDayFirst() }
+    else { numericDayFirst(); numericMonthFirst() }
     // 2. relative words
     locally {
       val m = relative.matcher(processed)
@@ -210,6 +333,85 @@ final class DateDetector(referenceDate: LocalDate,
           found2 += DetectedDate(dd, mm, yy, "date", m2.group().strip())
       }
       found2.foreach(add)
+    }
+    // 2c. range family — runs BEFORE the day-month ordinal family so
+    // "2nd jan to 5th" is claimed whole (reference preference order,
+    // en/date_detection.py:105-127: arrival/departure, then
+    // ddth-of-mmm-to-ddth, then ddth-to-ddth-of-next-month)
+    // "21st to 30th of Jan": end date anchors the month, start day walks
+    // back to the closest earlier date with that day; both bumped a year
+    // if the start landed in the past (en/date_detection.py:1595-1608)
+    locally {
+      val m = rangeDdToDdOfMmm.matcher(processed)
+      val found = ListBuffer.empty[Seq[DetectedDate]]
+      while (m.find()) {
+        val original = m.group(1)
+        val dd1 = m.group(2).toInt
+        val dd2 = m.group(3).toInt
+        monthNames.get(m.group(4)).foreach { mm2 =>
+          var yy2 = referenceDate.getYear
+          if (isValidDate(dd2, mm2, yy2)) {
+            val dt2 = LocalDate.of(yy2, mm2, dd2)
+            previousDateWithDd(dd1, dt2).foreach { case (d1, m1, y1raw) =>
+              var yy1 = y1raw
+              val dt1 = LocalDate.of(yy1, m1, d1)
+              if (dt1.isBefore(referenceDate)) { yy2 += 1; yy1 = yy2 }
+              found += Seq(DetectedDate(d1, m1, yy1, "date", original),
+                DetectedDate(dd2, mm2, yy2, "date", original))
+            }
+          }
+        }
+      }
+      found.foreach(addShared)
+    }
+    // "21st jan to 30th [feb]": start date anchors; a month-less end day
+    // resolves to the closest date with that day after the start
+    // (en/date_detection.py:1722-1742)
+    locally {
+      val m = rangeDdMmmToDd.matcher(processed)
+      val found = ListBuffer.empty[Seq[DetectedDate]]
+      while (m.find()) {
+        val original = m.group(1)
+        val dd1 = m.group(2).toInt
+        val dd2 = m.group(4).toInt
+        monthNames.get(m.group(3)).foreach { mm1 =>
+          var yy1 = referenceDate.getYear
+          if (isValidDate(dd1, mm1, yy1)) {
+            var dt1 = LocalDate.of(yy1, mm1, dd1)
+            var yy2 = yy1
+            if (dt1.isBefore(referenceDate)) {
+              yy1 += 1; yy2 = yy1; dt1 = LocalDate.of(yy1, mm1, dd1)
+            }
+            val endOpt = Option(m.group(5)).flatMap(monthNames.get) match {
+              case Some(mm2) if isValidDate(dd2, mm2, yy2) =>
+                val dt2 = LocalDate.of(yy2, mm2, dd2)
+                Some((dd2, mm2, if (dt2.isBefore(dt1)) yy2 + 1 else yy2))
+              case Some(_) => None
+              case None => nextDateWithDd(dd2, dt1)
+            }
+            endOpt.foreach { case (d2, m2, y2) =>
+              found += Seq(DetectedDate(dd1, mm1, yy1, "date", original),
+                DetectedDate(d2, m2, y2, "date", original))
+            }
+          }
+        }
+      }
+      found.foreach(addShared)
+    }
+    // "21st to 30th of coming month" (en/date_detection.py:1760-1824)
+    locally {
+      val m = rangeDdToDdNextMonth.matcher(processed)
+      val found = ListBuffer.empty[Seq[DetectedDate]]
+      while (m.find()) {
+        val original = m.group(1)
+        val dd1 = m.group(2).toInt
+        val dd2 = m.group(3).toInt
+        val n = referenceDate.plusMonths(1)
+        val (mm, yy) = (n.getMonthValue, n.getYear)
+        found += Seq(DetectedDate(dd1, mm, yy, "date", original),
+          DetectedDate(dd2, mm, yy, "date", original))
+      }
+      found.foreach(addShared)
     }
     // 3. "16th aug [2024]" / "16 of august"
     locally {
@@ -328,6 +530,38 @@ final class DateDetector(referenceDate: LocalDate,
             "possible_day", m.group().strip())
       }
       found.foreach(add)
+    }
+    // 8. "first week of jan" — LAST in the reference preference order
+    // (en/date_detection.py:105-127, detector :1627-1685): one date per day
+    // of that calendar week (monthcalendar semantics), all sharing the
+    // matched span; named months bump a year when already past, and
+    // coming/next resolve to the following month. The reference regex
+    // requires trailing whitespace and pads the text — match padded.
+    locally {
+      val m = nthWeekMonth.matcher(processed + " ")
+      val found = ListBuffer.empty[Seq[DetectedDate]]
+      while (m.find()) {
+        val original = m.group(1)
+        val probableMm = m.group(3)
+        var yy = referenceDate.getYear
+        val mmOpt: Option[Int] = monthNames.get(probableMm) match {
+          case Some(mm) =>
+            if (referenceDate.getMonthValue > mm) yy += 1
+            Some(mm)
+          case None if Set("coming", "comming", "next", "nxt", "following",
+            "folowing").contains(probableMm) =>
+            val n = referenceDate.plusMonths(1)
+            yy = n.getYear
+            Some(n.getMonthValue)
+          case None => None
+        }
+        mmOpt.foreach { mm =>
+          val days = weekdaysForMonth(ordinalsMap(m.group(2)), mm, yy)
+          if (days.nonEmpty)
+            found += days.map(d => DetectedDate(d, mm, yy, "date", original))
+        }
+      }
+      found.foreach(addShared)
     }
 
     results.sortBy(_._1).map(_._2).toSeq
