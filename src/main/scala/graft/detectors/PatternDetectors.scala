@@ -98,20 +98,13 @@ object PatternDetectors {
     out.toSeq
   }
 
-  /** User-pattern detector (regex_detection.py:45-131): compile-time
-    * validation, non-empty matches only, capped at maxMatches=50; uses
-    * group(1) when the pattern has capturing groups, whole match otherwise.
+  /** User-pattern detector (regex_detection.py:84-131): compile-time
+    * validation, whole-match (group 0) values, empty/whitespace-only
+    * matches skipped, capped at maxMatches non-empty matches.
     */
-  def custom(text: String, pattern: String, maxMatches: Int = 50): Seq[Detected] = {
-    val p = Pattern.compile(pattern) // throws PatternSyntaxException: caller validates
-    val m = p.matcher(text)
-    val out = ListBuffer.empty[Detected]
-    while (m.find() && out.size < maxMatches) {
-      val v = if (m.groupCount() >= 1 && m.group(1) != null) m.group(1) else m.group()
-      if (v.nonEmpty) out += Detected(v, None, m.group())
-    }
-    out.toSeq
-  }
+  def custom(text: String, pattern: String, maxMatches: Int = 50): Seq[Detected] =
+    new RegexEntityDetector("ent", pattern, maxMatches = maxMatches)
+      .detect(text).map(v => Detected(v, None, v))
 
   /** ASR-mode user-pattern detector (regex_detection.py:104-105 when
     * asr_enabled): the text is first edited to fit the pattern — spoken
@@ -120,4 +113,78 @@ object PatternDetectors {
     */
   def customAsr(text: String, pattern: String, maxMatches: Int = 50): Seq[Detected] =
     custom(graft.analyzer.AsrFormat.asrCorrection(text, pattern), pattern, maxMatches)
+}
+
+/** Faithful mirror of the reference RegexDetector
+  * (ner_v1/detectors/pattern/regex/regex_detection.py:29-148): compiles
+  * the user pattern eagerly (PatternSyntaxException on invalid input —
+  * the reference's container has no `regex` lib, so the stdlib-`re`
+  * UNICODE-flag path is the behavior to match; Java's Pattern likewise
+  * treats nested character sets '[[]]' the V0 way), collects whole-match
+  * values skipping empty/whitespace-only matches up to maxMatches, and
+  * maintains taggedText (each match replaced once, in match order, via the
+  * placeholder two-pass) and processedText (matches removed once each).
+  */
+final class RegexEntityDetector(entityName: String, pattern: String,
+    dotAll: Boolean = false, maxMatches: Int = 50) {
+
+  // Java, like regex.V1, nests character classes ('[[\]]' is an unclosed
+  // union); the reference falls back to V0 on that compile error
+  // (regex_detection.py:69-77). V0's difference is that '[' inside a class
+  // is literal — rewrite it escaped and retry.
+  private def v0ify(p: String): String = {
+    val sb = new StringBuilder
+    var inClass = false
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) {
+        sb.append(c).append(p.charAt(i + 1)); i += 2
+      } else {
+        if (!inClass) { if (c == '[') inClass = true; sb.append(c) }
+        else if (c == ']') { inClass = false; sb.append(c) }
+        else if (c == '[') sb.append("\\[")
+        else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private val flags = if (dotAll) Pattern.DOTALL else 0
+  private val compiled =
+    try Pattern.compile(pattern, flags)
+    catch {
+      case _: java.util.regex.PatternSyntaxException =>
+        Pattern.compile(v0ify(pattern), flags)
+    }
+  private val tag = "__" + entityName + "__"
+  private val Placeholder = "▁▁"
+
+  var taggedText: String = ""
+  var processedText: String = ""
+
+  private def replaceOnce(s: String, find: String, repl: String): String = {
+    val at = s.indexOf(find)
+    if (at < 0 || find.isEmpty) s
+    else s.substring(0, at) + repl + s.substring(at + find.length)
+  }
+
+  def detect(text: String): Seq[String] = {
+    processedText = text
+    taggedText = text
+    val m = compiled.matcher(text)
+    val out = ListBuffer.empty[String]
+    var go = true
+    while (go && m.find()) {
+      if (m.group().strip().nonEmpty) out += m.group()
+      if (out.size >= maxMatches) go = false
+    }
+    for (v <- out) {
+      taggedText = replaceOnce(taggedText, v, Placeholder)
+      processedText = replaceOnce(processedText, v, "")
+    }
+    taggedText = taggedText.replace(Placeholder, tag)
+    out.toSeq
+  }
 }

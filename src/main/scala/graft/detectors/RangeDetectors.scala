@@ -174,88 +174,97 @@ final class NumberRangeDetector(entityName: String = "number_range",
 
 /** Budget detection (reference ner_v1/detectors/numeral/budget/
   * budget_detection.py:141-441): ordered min-max / min / max / any pipeline
-  * over money-ish amounts with scale suffixes (k/thousand/lakh/cr...),
-  * digit-count window 2-5 on the raw digits (reference defaults), output
-  * {min_budget, max_budget, type='normal_budget'}.
+  * over money-ish amounts with fuzzy scale-suffix patterns
+  * (k/ha?zaa?r/lakh?s?/cro?...). The digit-count window (default 2-5)
+  * applies to the SCALED integer amount (len(str(amount)) after
+  * multiplying by the unit scale, :236-239), so '50l' = 5000000 is
+  * rejected at the default window. Bare amounts with no money marker DO
+  * count (_detect_any_budget has no rs/unit requirement). Results are in
+  * stage order (min-max, min, max, any), matching the reference's
+  * append-per-stage lists, not text position.
   */
 final case class DetectedBudget(minBudget: Long, maxBudget: Long,
     btype: String, original: String)
 
-final class BudgetDetector(minDigits: Int = 2, maxDigits: Int = 5) {
+final class BudgetDetector(var minDigits: Int = 2, var maxDigits: Int = 5) {
 
-  private val tag = "__budget__"
-  private val scaleAlt = NumberWords.enDigitScales.keys.toSeq
-    .sortBy(-_.length).map(Pattern.quote).mkString("|")
-  private val amt = raw"(?:rs\.?|rupees|rupee|inr|\$$)?\s*(\d+(?:[.,]\d+)?)\s*(?:($scaleAlt)\b)?\s*(?:rs\.?|rupees|rupee|inr|bucks)?"
-  // reference pattern (budget_detection.py:308-312) has NO 'between' —
-  // the matched span (and thus original_text) starts at the first amount
+  /** test-surface twin of the reference's set_min_max_digits */
+  def setMinMaxDigits(min: Int, max: Int): Unit = { minDigits = min; maxDigits = max }
+
+  // _scale_patterns (:83-99) sorted by pattern length desc, Python-stable
+  private val scalePatterns: Seq[(Long, Pattern)] = Seq(
+    "thousa?nd" -> 1000L, "ha?zaa?r" -> 1000L, "ha?ja?ar" -> 1000L,
+    "crore?s?" -> 10000000L, "lakh?s?" -> 100000L, "million" -> 1000000L,
+    "lacs?" -> 100000L, "lakhs" -> 100000L, "mill?" -> 1000000L,
+    "cro?" -> 10000000L, "mn" -> 1000000L,
+    "k" -> 1000L, "l" -> 100000L, "m" -> 1000000L, "c" -> 10000000L
+  ).map { case (p, s) => (s, Pattern.compile(p)) }
+
+  private val unitsAlt = scalePatterns.map(_._2.pattern()).mkString("|")
+  // digits: '10,000', '5,5,00', '1.2', '.5' (budget_detection.py:127)
+  private val digitsPat =
+    raw"((?:\d+(?:,\d+)*(?:\.\d+)?)|(?:(?:\d+(?:,\d+)*)?(?:\.\d+)))"
+  private val amt = raw"(?:rs\.|rs|rupees|rupee)?\s*$digitsPat\s*($unitsAlt)?\s*(?:rs\.|rs|rupees|rupee)?"
+  // keyword sets are the reference's verbatim (:220-226, :266-272); the
+  // min-max pattern has NO 'between' — original starts at the first amount
   private val pMinMax = Pattern.compile(
-    raw"(?<=\s)$amt\s*(?:-|to|and|till)\s*$amt")
+    raw"\s($amt\s*(?:-|to|and|till)\s*$amt)(?:\b|\.|\s)")
   private val pMin = Pattern.compile(
-    raw"(?:above|over|more than|greater than|at\s?least|minimum|min)\s+$amt")
+    raw"\s((?:above|more? than|more?|at ?least|greater than|greater|abv|abov|more? den|>\s*=?)\s+$amt)(?:\b|\.|\s)")
   private val pMax = Pattern.compile(
-    raw"(?:upto|up to|under|below|less than|within|maximum|max|at\s?most)\s+$amt")
-  private val pAny = Pattern.compile(amt)
+    raw"\s((?:max|upto|o?nly|around|below|at ?most|less than|less|less den|<\s*=?)\s+$amt)(?:\b|\.|\s)")
+  private val pAny = Pattern.compile(raw"\s($amt)(?:\b|\.|\s)")
 
+  private def scaleOf(unit: String): Long =
+    if (unit == null) 1L
+    else scalePatterns.collectFirst {
+      case (s, p) if p.matcher(unit).find() => s
+    }.getOrElse(1L)
+
+  /** float(amount)*scale → int, gated on the scaled amount's digit count */
   private def parse(numStr: String, scaleStr: String): Option[Long] = {
-    val digits = numStr.replace(",", "")
-    val rawDigits = digits.replace(".", "")
-    if (rawDigits.length < minDigits && scaleStr == null) return None
-    if (rawDigits.length > maxDigits) return None
-    val scale = Option(scaleStr).map(NumberWords.enDigitScales).getOrElse(1L)
-    val v = digits.toDouble * scale
-    Some(v.toLong)
+    val v = (numStr.replace(",", "").toDouble * scaleOf(scaleStr)).toLong
+    if (v.toString.length >= minDigits && v.toString.length <= maxDigits)
+      Some(v)
+    else None
   }
 
   def detect(text0: String): Seq[DetectedBudget] = {
     var processed = " " + text0.toLowerCase(java.util.Locale.ROOT) + " "
-    val results = ListBuffer.empty[(Int, DetectedBudget)]
+    val results = ListBuffer.empty[DetectedBudget]
 
-    def consume(span: String): Int = {
-      val m = Pattern.compile(Pattern.quote(span)).matcher(processed)
-      if (!m.find()) -1
-      else {
-        val at = m.start()
-        processed = processed.substring(0, at) + tag + processed.substring(m.end())
-        at
-      }
-    }
     def run(p: Pattern)(mk: java.util.regex.Matcher => Option[DetectedBudget]): Unit = {
       val m = p.matcher(processed)
       val found = ListBuffer.empty[(String, DetectedBudget)]
-      while (m.find()) mk(m).foreach(b => found += ((m.group().strip(), b)))
+      while (m.find()) mk(m).foreach(b => found += ((m.group(1).strip(), b)))
       for ((span, b) <- found) {
-        val at = consume(span)
-        if (at >= 0) results += ((at, b.copy(original = span)))
+        results += b.copy(original = span)
+        // _update_processed_text removes every occurrence (:434-441)
+        processed = processed.replace(span, "")
       }
     }
 
     run(pMinMax) { m =>
       for {
-        lo <- parse(m.group(1), m.group(2))
-        hi <- parse(m.group(3), m.group(4))
-        if lo <= hi
+        lo <- parse(m.group(2), m.group(3))
+        hi <- parse(m.group(4), m.group(5))
+        // reference :342: both sides nonzero after the window gate
+        if lo != 0 && hi != 0 && lo <= hi
       } yield DetectedBudget(lo, hi, "normal_budget", "")
     }
     run(pMin) { m =>
-      parse(m.group(1), m.group(2)).map(v =>
+      parse(m.group(2), m.group(3)).map(v =>
         DetectedBudget(v, 0L, "normal_budget", ""))
     }
     run(pMax) { m =>
-      parse(m.group(1), m.group(2)).map(v =>
+      parse(m.group(2), m.group(3)).map(v =>
         DetectedBudget(0L, v, "normal_budget", ""))
     }
     run(pAny) { m =>
-      // bare amounts count as budget only with a money marker or scale
-      val span = m.group().strip()
-      val hasMarker = span.exists(c => c == '$') ||
-        Seq("rs", "rupee", "inr", "bucks").exists(span.contains) ||
-        m.group(2) != null
-      if (!hasMarker) None
-      else parse(m.group(1), m.group(2)).map(v =>
+      parse(m.group(2), m.group(3)).map(v =>
         DetectedBudget(0L, v, "normal_budget", ""))
     }
 
-    results.sortBy(_._1).map(_._2).toSeq
+    results.toSeq
   }
 }

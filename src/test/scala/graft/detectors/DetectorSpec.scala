@@ -94,8 +94,9 @@ class DetectorSpec extends AnyFunSuite {
   }
 
   test("custom regex detector: groups, cap, validation") {
+    // reference returns whole matches (regex_detection.py:125-128 group 0)
     assert(PatternDetectors.custom("order #123 and #456", raw"#(\d+)")
-      .map(_.value) == Seq("123", "456"))
+      .map(_.value) == Seq("#123", "#456"))
     val many = PatternDetectors.custom("a " * 100, raw"a")
     assert(many.size == 50) // max_matches cap (regex_detection.py:45)
     intercept[java.util.regex.PatternSyntaxException] {

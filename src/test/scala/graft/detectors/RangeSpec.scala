@@ -213,13 +213,20 @@ class RangeSpec extends AnyFunSuite {
     assert(budgets("shirts between 2000 to 3000") == Seq((2000L, 3000L)))
     assert(budgets("tshirts greater than 2k") == Seq((2000L, 0L)))
     assert(budgets("rs. 1000") == Seq((0L, 1000L)))
-    assert(budgets("under 1.5 lakh") == Seq((0L, 150000L)))
-    assert(budgets("flat for 50l") == Seq((0L, 5000000L)))
+    // the digit window gates the SCALED amount (budget_detection.py:236):
+    // 150000 and 5000000 overflow the default 2-5 window
+    assert(budgets("under 1.5 lakh").isEmpty)
+    assert(budgets("flat for 50l").isEmpty)
+    val wide = new BudgetDetector(1, 15)
+    assert(wide.detect("under 1.5 lakh").map(b => (b.minBudget, b.maxBudget)) ==
+      Seq((0L, 150000L)))
+    assert(wide.detect("flat for 50l").map(b => (b.minBudget, b.maxBudget)) ==
+      Seq((0L, 5000000L)))
   }
 
-  test("budget digit window and marker requirement") {
-    assert(budgets("rate it 5 stars").isEmpty) // bare 1-digit, no marker
-    assert(budgets("order #123456789").isEmpty) // > 5 digits
+  test("budget digit window") {
+    assert(budgets("rate it 5 stars").isEmpty) // 1 digit < min 2
+    assert(budgets("order #123456789").isEmpty) // no whitespace-led amount
     assert(budgets("costs 45 bucks") == Seq((0L, 45L)))
   }
 
