@@ -110,11 +110,13 @@ object TextSurface {
       minTokenSize: Int): Map[String, Seq[Detection]] = {
     import graft.analyzer.Tokenizer
     entities.map { entity =>
-      // R2: variant→value in score order, first-wins per variant
+      // R2: variant→value in score order; a duplicate lowercased variant
+      // keeps its first position but takes the LAST value — Python dict
+      // re-assignment semantics (text_detection.py:291-296: the v2 test
+      // expects 'Mumbai' from [('mumbai','mumbai'),('Mumbai','Mumbai')])
       val vToV = scala.collection.mutable.LinkedHashMap.empty[String, String]
       hits.iterator.filter(_.entity == entity).foreach { h =>
-        val v = h.variant.toLowerCase(java.util.Locale.ROOT)
-        if (!vToV.contains(v)) vToV(v) = h.value
+        vToV(h.variant.toLowerCase(java.util.Locale.ROOT)) = h.value
       }
       // R3: exact before fuzzy, token count desc within each (stable sort).
       // The exact check runs against the CANONICAL tokenize-and-rejoin form
