@@ -148,26 +148,43 @@ object TextSurface {
       original_text: String, detection: String, language: String,
       datastoreVerified: Boolean, modelVerified: Boolean)
 
-  /** R5 — merge datastore detections with pre-detected (model) values
-    * (reference combine_results, text_detection.py:516-560): datastore hits
-    * are marked datastore_verified; a predetected value survives only if its
-    * original text is NOT a word-bounded substring of any datastore
-    * original (the datastore hit subsumes it).
+  /** R5 — merge datastore detections with model pre-detected values
+    * (reference combine_results, text_detection.py:516-560). Per predetected
+    * value, scanning datastore entries in order and stopping at the first
+    * match: an entry whose original equals the LOWERCASED value is UPGRADED
+    * to model_verified (no new entry); an entry whose original contains the
+    * raw value word-bounded subsumes it (dropped); otherwise the value
+    * appends as a model-only entry (value = original = the raw string).
+    * The detection label is the CALLER's path — the reference stamps one
+    * method across the whole combined list (text_detection.py:653-668), so
+    * model-only survivors read 'message' / 'structure_value_verified' too.
     */
-  def combineResults(datastore: Seq[Detection],
-      predetected: Seq[Detection]): Seq[VerifiedDetection] = {
+  def combineResults(datastore: Seq[Detection], predetected: Seq[String],
+      entity: String, language: String = "en",
+      detection: String = Priority.FromMessage): Seq[VerifiedDetection] = {
     val ds = datastore.map(d => VerifiedDetection(d.entity, d.value,
-      d.original_text, d.detection, d.language,
-      datastoreVerified = true, modelVerified = false))
-    val kept = predetected.filter { p =>
+      d.original_text, detection, d.language,
+      datastoreVerified = true, modelVerified = false)).toArray
+    val extra = Seq.newBuilder[VerifiedDetection]
+    for (p <- predetected) {
+      val lowered = p.toLowerCase(java.util.Locale.ROOT)
       val pat = java.util.regex.Pattern.compile(
-        raw"\b" + java.util.regex.Pattern.quote(p.original_text) + raw"\b")
-      !datastore.exists(d =>
-        d.entity == p.entity && pat.matcher(d.original_text).find())
-    }.map(p => VerifiedDetection(p.entity, p.value, p.original_text,
-      "model_verified", p.language,
-      datastoreVerified = false, modelVerified = true))
-    ds ++ kept
+        raw"\b" + java.util.regex.Pattern.quote(p) + raw"\b")
+      var i = 0
+      var matched = false
+      while (i < ds.length && !matched) {
+        if (ds(i).original_text == lowered) {
+          ds(i) = ds(i).copy(modelVerified = true); matched = true
+        } else if (pat.matcher(ds(i).original_text).find()) {
+          matched = true // subsumed by a datastore original
+        }
+        i += 1
+      }
+      if (!matched)
+        extra += VerifiedDetection(entity, p, p, detection, language,
+          datastoreVerified = false, modelVerified = true)
+    }
+    ds.toSeq ++ extra.result()
   }
 
   /** Bulk variant search — the msearch batch fusion (reference
@@ -277,6 +294,143 @@ object TextSurface {
     messages.zip(hitsPerMsg).map { case (message, hits) =>
       postProcess(hits, Analyzer.lower(message), entities, language, lo, hi,
         minTokenSize)
+    }
+  }
+
+  /** Per-entity request options — the /v2/text entity body (reference
+    * ner_v2/detectors/textual/utils.py:91-141). `predetectedValues` is
+    * indexed PER MESSAGE (list-of-lists), as the reference consumes it
+    * (text_detection.py:636-644 `predetected_values[index]`).
+    */
+  final case class EntitySpec(
+      structuredValue: Option[String] = None,
+      fallbackValue: Option[String] = None,
+      predetectedValues: Seq[Seq[String]] = Nil,
+      ignoreMessage: Boolean = false)
+
+  /** One message's detection envelope (utils.py:169-177). */
+  final case class RequestOutput(entities: Map[String, Seq[VerifiedDetection]],
+      language: String)
+
+  /** Fallback-only output for ignore_message entities (reference
+    * get_output_for_fallback_entities, utils.py:222-270): the fallback
+    * value passes through unverified; a null fallback yields an empty list.
+    */
+  def fallbackOutputs(specs: Seq[(String, EntitySpec)],
+      language: String = "en"): Map[String, Seq[VerifiedDetection]] =
+    specs.map { case (entity, s) =>
+      entity -> s.fallbackValue.map(fv =>
+        VerifiedDetection(entity, fv, fv, Priority.FromFallbackValue,
+          language, datastoreVerified = false, modelVerified = false)).toSeq
+    }.toMap
+
+  /** Single-message detection with full per-entity routing (reference
+    * TextDetector.detect, text_detection.py:562-674): an entity with a
+    * structured value is searched against THAT text — the reference batches
+    * every structured text plus the message into ONE msearch
+    * (text_detection.py:351-369), mirrored here via searchVariantsBulk —
+    * then priority routes the combined (datastore + model) list:
+    * structured hit → structure_value_verified, structured miss →
+    * unverified passthrough, else message, else fallback.
+    */
+  def detectWithSpecs(spark: SparkSession, storeDir: String, message: String,
+      specs: Seq[(String, EntitySpec)], language: String = "en",
+      fuzzy: Boolean = true, lo: Int = 4, hi: Int = 7,
+      minTokenSize: Int = 4): Map[String, Seq[VerifiedDetection]] = {
+    val structured = specs.filter(_._2.structuredValue.isDefined)
+    val textual = specs.filterNot(_._2.structuredValue.isDefined)
+    // one bulk engine pass over [structured texts..., message]
+    val texts = structured.map(_._2.structuredValue.get) ++
+      (if (textual.nonEmpty) Seq(message) else Nil)
+    val hitsPerText = searchVariantsBulk(spark, storeDir, texts,
+      specs.map(_._1), Seq(language), fuzzy)
+    val textOf: Map[String, (Seq[VariantHit], String)] =
+      structured.zipWithIndex.map { case ((e, s), i) =>
+        e -> ((hitsPerText(i), s.structuredValue.get))
+      }.toMap ++ textual.map { case (e, _) =>
+        e -> ((hitsPerText.last, message))
+      }.toMap
+
+    specs.map { case (entity, spec) =>
+      val (hits, text) = textOf(entity)
+      val det = postProcess(hits, Analyzer.lower(text), Seq(entity), language,
+        lo, hi, minTokenSize)(entity)
+      val pre = spec.predetectedValues.headOption.getOrElse(Nil)
+      val method =
+        if (spec.structuredValue.isDefined) Priority.FromStructureValueVerified
+        else Priority.FromMessage
+      val combined = combineResults(det, pre, entity, language, method)
+      entity -> (spec.structuredValue match {
+        case Some(sv) =>
+          if (combined.nonEmpty) combined
+          else Seq(VerifiedDetection(entity, sv, sv,
+            Priority.FromStructureValueNotVerified, language,
+            datastoreVerified = false, modelVerified = false))
+        case None =>
+          if (combined.nonEmpty) combined
+          else spec.fallbackValue.map(fv =>
+            VerifiedDetection(entity, fv, fv, Priority.FromFallbackValue,
+              language, datastoreVerified = false,
+              modelVerified = false)).toSeq
+      })
+    }.toMap
+  }
+
+  /** Bulk detection with per-message predetected/fallback routing
+    * (reference detect_bulk, text_detection.py:674-776): no structured
+    * path, per-message model merge, fallback when a message yields nothing.
+    */
+  def detectBulkWithSpecs(spark: SparkSession, storeDir: String,
+      messages: Seq[String], specs: Seq[(String, EntitySpec)],
+      language: String = "en", fuzzy: Boolean = true, lo: Int = 4,
+      hi: Int = 7, minTokenSize: Int = 4): Seq[Map[String, Seq[VerifiedDetection]]] = {
+    val perMsg = detectBulk(spark, storeDir, messages, specs.map(_._1),
+      Seq(language), fuzzy, lo, hi, minTokenSize)
+    perMsg.zipWithIndex.map { case (byEntity, idx) =>
+      specs.map { case (entity, spec) =>
+        val pre = spec.predetectedValues.lift(idx).getOrElse(Nil)
+        val combined = combineResults(
+          byEntity.getOrElse(entity, Seq.empty), pre, entity, language)
+        entity -> (if (combined.nonEmpty) combined
+        else spec.fallbackValue.map(fv =>
+          VerifiedDetection(entity, fv, fv, Priority.FromFallbackValue,
+            language, datastoreVerified = false,
+            modelVerified = false)).toSeq)
+      }.toMap
+    }
+  }
+
+  /** The /v2/text request envelope (reference
+    * get_text_entity_detection_data + validate_text_request,
+    * utils.py:19-213): R8 limits validated up front; a SINGLE message
+    * splits entities on ignore_message — ignored entities emit only their
+    * fallback output, the rest run full detection; MULTIPLE messages run
+    * bulk detection with ignore_message (and structured values) ignored,
+    * per the reference's routing.
+    */
+  def detectRequest(spark: SparkSession, storeDir: String,
+      messages: Seq[String], specs: Seq[(String, EntitySpec)],
+      language: String = "en", fuzzy: Boolean = true, lo: Int = 4,
+      hi: Int = 7, minTokenSize: Int = 4): Seq[RequestOutput] = {
+    require(messages.nonEmpty,
+      "Key `messages` is required to be a non-empty List[str]")
+    require(specs.nonEmpty,
+      "Key `entities` is required to be a non-empty Dict[str, Dict]")
+    require(messages.length <= MaxBulkMessages,
+      s"Length of key `messages` can be at most $MaxBulkMessages")
+    require(specs.length <= MaxEntities,
+      s"Length of key `entities` can be at most $MaxEntities")
+    if (messages.length == 1) {
+      val (ignored, texted) = specs.partition(_._2.ignoreMessage)
+      val out = fallbackOutputs(ignored, language) ++
+        (if (texted.nonEmpty)
+          detectWithSpecs(spark, storeDir, messages.head, texted, language,
+            fuzzy, lo, hi, minTokenSize)
+        else Map.empty[String, Seq[VerifiedDetection]])
+      Seq(RequestOutput(out, language))
+    } else {
+      detectBulkWithSpecs(spark, storeDir, messages, specs, language, fuzzy,
+        lo, hi, minTokenSize).map(RequestOutput(_, language))
     }
   }
 }

@@ -234,12 +234,17 @@ class RangeSpec extends AnyFunSuite {
     import graft.surface.TextSurface
     import graft.surface.TextSurface.Detection
     val ds = Seq(Detection("city", "New Delhi", "new delhi", "message", "en"))
-    val pre = Seq(
-      Detection("city", "Delhi", "delhi", "model", "en"), // substring → drop
-      Detection("city", "Pune", "pune", "model", "en")) // survives
-    val out = TextSurface.combineResults(ds, pre)
+    // 'delhi' is a word-bounded substring of 'new delhi' → dropped;
+    // 'Pune' survives as a model-only entry. The subsumption regex is
+    // CASE-SENSITIVE in the reference (re.escape on the raw predetected
+    // value vs lowercased originals, text_detection.py:544) — only the
+    // exact-equality check lowers — so capital 'Delhi' would NOT be
+    // subsumed and appends as its own entry.
+    val out = TextSurface.combineResults(ds, Seq("delhi", "Pune"), "city")
     assert(out.map(_.value) == Seq("New Delhi", "Pune"))
     assert(out.head.datastoreVerified && !out.head.modelVerified)
     assert(out(1).modelVerified && !out(1).datastoreVerified)
+    val cap = TextSurface.combineResults(ds, Seq("Delhi"), "city")
+    assert(cap.map(_.value) == Seq("New Delhi", "Delhi"))
   }
 }

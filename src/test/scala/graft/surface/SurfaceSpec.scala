@@ -73,6 +73,52 @@ class SurfaceSpec extends SparkTestBase {
     assert(hi.map(_.value).distinct == Seq("Mumbai"))
   }
 
+  test("request envelope: structured / ignore_message / fallback routing") {
+    // single-message routing of get_text_entity_detection_data
+    // (utils.py:91-213): structured entity searched against its structured
+    // text, ignore_message entity emits only its fallback, rest detect
+    import TextSurface.{EntitySpec, VerifiedDetection}
+    val specs = Seq(
+      "city" -> EntitySpec(structuredValue = Some("Delhi")),
+      "cuisine" -> EntitySpec(),
+      "restaurant" -> EntitySpec(fallbackValue = Some("Dominos"),
+        ignoreMessage = true))
+    val out = TextSurface.detectRequest(spark, storeDir,
+      Seq("I want pizza in Jabalpur"), specs)
+    assert(out.length == 1 && out.head.language == "en")
+    val e = out.head.entities
+    assert(e("city").map(x => (x.value, x.original_text, x.detection)) ==
+      Seq(("New Delhi", "delhi", "structure_value_verified")))
+    assert(e("city").head.datastoreVerified && !e("city").head.modelVerified)
+    assert(e("cuisine").map(x => (x.value, x.detection)) ==
+      Seq(("Italian", "message")))
+    assert(e("restaurant") == Seq(VerifiedDetection("restaurant", "Dominos",
+      "Dominos", "fallback_value", "en", datastoreVerified = false,
+      modelVerified = false)))
+  }
+
+  test("request envelope: structured miss passthrough; bulk predetected + fallback") {
+    import TextSurface.{EntitySpec, VerifiedDetection}
+    // a structured value that fails detection passes through UNVERIFIED
+    val miss = TextSurface.detectRequest(spark, storeDir, Seq("hello there"),
+      Seq("city" -> EntitySpec(structuredValue = Some("xyzzy"))))
+    assert(miss.head.entities("city") == Seq(VerifiedDetection("city",
+      "xyzzy", "xyzzy", "structure_value_not_verified", "en",
+      datastoreVerified = false, modelVerified = false)))
+    // bulk: per-message model merge; fallback when a message yields nothing
+    val bulk = TextSurface.detectRequest(spark, storeDir,
+      Seq("flight to madras", "no hits here"),
+      Seq("city" -> EntitySpec(fallbackValue = Some("Pune"),
+        predetectedValues = Seq(Seq("Goa"), Seq.empty))))
+    val m0 = bulk(0).entities("city")
+    assert(m0.map(_.value) == Seq("Chennai", "Goa"))
+    assert(m0(0).datastoreVerified && !m0(0).modelVerified)
+    assert(m0(1).modelVerified && m0(1).detection == "message")
+    assert(bulk(1).entities("city") == Seq(VerifiedDetection("city", "Pune",
+      "Pune", "fallback_value", "en", datastoreVerified = false,
+      modelVerified = false)))
+  }
+
   test("entity filter is filter-context (no score contribution)") {
     val hits = TextSurface.searchVariants(spark, storeDir,
       "pizza in mumbai", Seq("cuisine"))

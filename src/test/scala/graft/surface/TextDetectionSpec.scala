@@ -61,8 +61,63 @@ class TextDetectionSpec extends AnyFunSuite {
 
   test("combine envelope: datastore hits are datastore_verified only") {
     val ds = Seq(Detection("city", "Mumbai", "mumbai", "message", "en"))
-    val out = TextSurface.combineResults(ds, Seq.empty)
+    val out = TextSurface.combineResults(ds, Seq.empty, "city")
     assert(out.map(v => (v.value, v.datastoreVerified, v.modelVerified)) ==
       Seq(("Mumbai", true, false)))
+  }
+
+  test("combine: exact predetected match upgrades to model_verified") {
+    // reference combine_results (text_detection.py:537-546): a predetected
+    // value equal (lowercased) to a datastore original marks THAT entry
+    // model_verified — no extra entry appended
+    val ds = Seq(Detection("city", "Mumbai", "mumbai", "message", "en"))
+    val out = TextSurface.combineResults(ds, Seq("Mumbai"), "city")
+    assert(out == Seq(TextSurface.VerifiedDetection("city", "Mumbai",
+      "mumbai", "message", "en", datastoreVerified = true,
+      modelVerified = true)))
+  }
+
+  test("combine: survivors take the caller's detection method") {
+    // the reference stamps ONE method across the combined list
+    // (text_detection.py:653-668) — a model-only survivor under the
+    // structured path reads structure_value_verified, as in the
+    // utils.py:131-158 docstring example
+    val out = TextSurface.combineResults(Seq.empty, Seq("Mumbai"), "city",
+      "en", Priority.FromStructureValueVerified)
+    assert(out == Seq(TextSurface.VerifiedDetection("city", "Mumbai",
+      "Mumbai", "structure_value_verified", "en",
+      datastoreVerified = false, modelVerified = true)))
+  }
+
+  test("fallback outputs: value passes through unverified; null is empty") {
+    // mirror of test_get_output_for_fallback_entities (test_utils.py:20-33)
+    val out = TextSurface.fallbackOutputs(Seq(
+      "city" -> TextSurface.EntitySpec(fallbackValue = Some("Mumbai"),
+        ignoreMessage = true),
+      "restaurant" -> TextSurface.EntitySpec(ignoreMessage = true)))
+    assert(out("city") == Seq(TextSurface.VerifiedDetection("city", "Mumbai",
+      "Mumbai", "fallback_value", "en", datastoreVerified = false,
+      modelVerified = false)))
+    assert(out("restaurant").isEmpty)
+  }
+
+  test("request validation mirrors validate_text_request") {
+    // test_validate_text_request_exceptions (test_utils.py:42-59)
+    val spark = null: org.apache.spark.sql.SparkSession // validation fires first
+    val spec = Seq("city" -> TextSurface.EntitySpec())
+    intercept[IllegalArgumentException] {
+      TextSurface.detectRequest(spark, "/tmp/none", Seq.empty, spec)
+    }
+    intercept[IllegalArgumentException] {
+      TextSurface.detectRequest(spark, "/tmp/none", Seq("something"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextSurface.detectRequest(spark, "/tmp/none",
+        Seq.fill(TextSurface.MaxBulkMessages + 1)("m"), spec)
+    }
+    intercept[IllegalArgumentException] {
+      TextSurface.detectRequest(spark, "/tmp/none", Seq("m"),
+        (1 to TextSurface.MaxEntities + 1).map(i => s"e$i" -> TextSurface.EntitySpec()))
+    }
   }
 }
