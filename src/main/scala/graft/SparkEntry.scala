@@ -398,6 +398,16 @@ object SparkEntry {
         .orderBy(col("hamming"), col("idA"), col("idB"))
         .limit(50)
     }),
+    "q_ngram_jaccard" -> ((s, d) => {
+      // EXACT near-dup pairs (prefix-filtered set-similarity join, recall
+      // 1.0) — the exact counterpart to q_minhash_pairs at the same
+      // shingling and threshold family
+      Dedup.ngramJaccardPairs(table(s, d, "documents"), "text", "doc_id",
+          shingleSize = 3, minJaccard = 0.6)
+        .orderBy((col("inter").cast("double") / col("uni")).desc,
+          col("idA"), col("idB"))
+        .limit(50)
+    }),
     "q_embed_neardup" -> ((s, d) => {
       // embedding-cosine near-dup: SRP-bucket blocking + capped self-join +
       // exact-cosine verify, fully DuckDB-replayed (bit-identical folds)
@@ -658,6 +668,53 @@ object SparkEntry {
        |  FROM cand JOIN sh sa ON sa.doc_id = idA JOIN sh sb ON sb.doc_id = idB)
        |SELECT idA, idB, inter, uni FROM verified
        |WHERE inter::DOUBLE / uni >= $minJaccard
+       |ORDER BY inter::DOUBLE / uni DESC, idA, idB
+       |LIMIT $limit""".stripMargin
+  }
+
+  /** DuckDB SQL replaying q_ngram_jaccard end-to-end: same shingling as
+    * the minhash oracle, the same global (df, shingle) rarity order,
+    * prefix length |S| - ceil(t*|S|) + 1, size filter, PPJoin positional
+    * filter (per-pair min positions = first shared prefix shingle), and
+    * exact intersect/union counts. All integer/double ops — no hashing —
+    * so the only cross-engine assumption is string sort order (BMP-safe).
+    */
+  private def ngramJaccardOracle(shingleSize: Int, minJaccard: Double,
+      limit: Int): String = {
+    val t = minJaccard.toString
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+${shingleSize - 1}], ' ')
+       |    for i in range(1, len(tk) - ${shingleSize - 2})]) AS s
+       |  FROM toks WHERE len(tk) >= $shingleSize),
+       |ex AS (
+       |  SELECT doc_id, unnest(s) AS shingle, len(s) AS sz FROM sh),
+       |dfc AS (
+       |  SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+       |pre AS (
+       |  SELECT shingle, doc_id, sz, rn FROM (
+       |    SELECT e.shingle, e.doc_id, e.sz,
+       |      ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.shingle) AS rn
+       |    FROM ex e JOIN dfc d ON d.shingle = e.shingle) z
+       |  WHERE rn <= sz - CAST(ceil($t * sz) AS BIGINT) + 1),
+       |cand AS (
+       |  SELECT idA, idB FROM (
+       |    SELECT a.doc_id AS idA, b.doc_id AS idB, a.sz AS szA, b.sz AS szB,
+       |      min(a.rn) AS pA, min(b.rn) AS pB
+       |    FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    WHERE least(a.sz, b.sz)::DOUBLE >= $t * greatest(a.sz, b.sz)
+       |    GROUP BY 1, 2, 3, 4) g
+       |  WHERE 1 + least(szA - pA, szB - pB) >= ceil($t / (1.0 + $t) * (szA + szB))),
+       |verified AS (
+       |  SELECT idA, idB,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+       |    CAST(len(sa.s) + len(sb.s) AS BIGINT)
+       |      - CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
+       |  FROM cand JOIN sh sa ON sa.doc_id = idA JOIN sh sb ON sb.doc_id = idB)
+       |SELECT idA, idB, inter, uni FROM verified
+       |WHERE inter::DOUBLE / uni >= $t
        |ORDER BY inter::DOUBLE / uni DESC, idA, idB
        |LIMIT $limit""".stripMargin
   }
@@ -1042,6 +1099,8 @@ object SparkEntry {
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64, limit = 50),
     "q_simhash_pairs" -> simhashOracle(maxHamming = 8, limit = 50,
       maxBucketSize = 64),
+    "q_ngram_jaccard" -> ngramJaccardOracle(shingleSize = 3,
+      minJaccard = 0.6, limit = 50),
     "q_dedup_clusters" -> dedupClustersOracle(maxHamming = 8,
       maxBucketSize = 64),
     "q_split" -> splitOracle("graft",

@@ -55,6 +55,42 @@ class OpsSpec extends SparkTestBase {
       assert(j == exact, s"pair ($a,$b): jaccard=$j exact=$exact")
   }
 
+  test("ngram jaccard join is EXACT: equals brute-force all-pairs") {
+    // recall 1.0 by the prefix + positional filter theorems — every
+    // brute-force pair at the threshold must come back, with identical
+    // inter/uni counts; both the default and the contract (n=3, t=0.6)
+    // parameterizations
+    val rows = docs.as[(Long, String)].collect().toSeq
+    for ((n, t) <- Seq((2, 0.5), (3, 0.6))) {
+      def shingleSet(s: String) = s.split("\\s+").filter(_.nonEmpty)
+        .sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+      val brute = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = (sa & sb).size; uni = (sa | sb).size
+        if uni > 0 && inter.toDouble / uni >= t
+      } yield (ia, ib, inter.toLong, uni.toLong)).toSet
+      assert(brute.nonEmpty, s"n=$n t=$t fixture exercises the join")
+      val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = n, minJaccard = t)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == brute, s"n=$n t=$t")
+    }
+  }
+
+  test("ngram jaccard: posting-length cap bounds fan-out (best effort)") {
+    // 20 docs sharing every shingle: cap 1 drops all postings → no pairs;
+    // uncapped finds all C(20,2) identical-doc pairs
+    val dups = spark.range(20)
+      .select(col("id").as("doc_id"), lit("same text again and again").as("text"))
+    val uncapped = Dedup.ngramJaccardPairs(dups, "text", "doc_id",
+      shingleSize = 2, minJaccard = 0.9)
+    assert(uncapped.count() == 190)
+    val capped = Dedup.ngramJaccardPairs(dups, "text", "doc_id",
+      shingleSize = 2, minJaccard = 0.9, maxPostingLen = 1L)
+    assert(capped.count() == 0)
+  }
+
   test("minhash bucket-width cap prunes degenerate buckets") {
     // 30 identical docs: every band bucket has width 30 > cap 8 → no pairs
     val dups = (0L until 30L).map(i => (i, "same same same text here"))
