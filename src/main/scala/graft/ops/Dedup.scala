@@ -465,9 +465,18 @@ object Dedup {
   def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.8, seed: Long = 42L,
-      maxBucketSize: Int = 64): DataFrame = {
-    val pairs = minHashLsh(df, textCol, idCol, shingleSize, numHashes,
-      bands, minJaccard, seed, maxBucketSize)
+      maxBucketSize: Int = 64): DataFrame =
+    survivorsFromPairs(df, idCol, minHashLsh(df, textCol, idCol,
+      shingleSize, numHashes, bands, minJaccard, seed, maxBucketSize))
+
+  /** The pairs → components → anti-join tail of [[nearDupSurvivors]] for
+    * ANY candidate-pair source — [[ngramJaccardPairs]] for exact-recall
+    * dedup, [[simHashPairs]], [[embeddingNearDupPairs]], or a caller's
+    * own (idA, idB) table. Same 100 TB shape: the corpus itself never
+    * shuffles.
+    */
+  def survivorsFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val losers = connectedComponents(pairs, "idA", "idB")
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))

@@ -131,6 +131,12 @@ object LocalDetector {
     * id and SECOND a string message. Returns
     * (doc_id, entity, value, original) — one row per detection, computed in
     * one mapPartitions pass over the messages with the dictionary broadcast.
+    *
+    * Streaming-safe: the pass is stateless (no aggregation, no join), so
+    * the same call runs unchanged on a readStream frame in append mode —
+    * entity detection over an unbounded message stream, dictionary
+    * broadcast once and reused across micro-batches (SurfaceSpec pins
+    * stream ≡ batch).
     */
   def detect(spark: SparkSession, storeDir: String, messages: DataFrame,
       entities: Seq[String], languages: Seq[String] = Seq("en"),

@@ -283,6 +283,15 @@ class OpsSpec extends SparkTestBase {
     assert(surv == Set(0L, 3L, 4L))
   }
 
+  test("survivorsFromPairs composes with the exact ngram join") {
+    // same fixture through the EXACT pair source — guaranteed-recall dedup
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 2, minJaccard = 0.5)
+    val surv = Dedup.survivorsFromPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(0L, 3L, 4L))
+  }
+
   test("connected components: min-id labels, chains, determinism") {
     // two components: a 6-node PATH (worst case for plain propagation —
     // pointer jumping must still converge inside the round cap) and a

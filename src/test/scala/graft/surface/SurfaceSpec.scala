@@ -209,6 +209,39 @@ class SurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("LocalDetector runs unchanged on a stream; equals the batch pass") {
+    // the detect pipeline is a stateless broadcast mapPartitions, so the
+    // SAME call works under readStream (append mode, no state, no
+    // watermark) — entity detection over an unbounded message stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val messages = Seq(
+      "book a flight to Chennai",
+      "I will visit Delehi next year",
+      "best pizza in mumbai or bangalore",
+      "nothing to see here")
+    val entities = Seq("city", "cuisine")
+    val batch = LocalDetector.detect(spark,
+      storeDir, messages.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+        .toDF("doc_id", "text"), entities)
+      .as[(Long, String, String, String)].collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = LocalDetector.detect(spark, storeDir,
+        stream.toDF().toDF("doc_id", "text"), entities)
+      .writeStream.format("memory").queryName("stream_detect")
+      .outputMode("append").start()
+    stream.addData(messages.zipWithIndex.take(2)
+      .map { case (m, i) => (i.toLong, m) }: _*)
+    q.processAllAvailable()
+    stream.addData(messages.zipWithIndex.drop(2)
+      .map { case (m, i) => (i.toLong, m) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_detect")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("CRF training store: grouped read path + copy-on-write update") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("graft-crf")
