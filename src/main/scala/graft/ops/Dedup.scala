@@ -86,17 +86,63 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.8, seed: Long = 42L,
       maxBucketSize: Int = 64): DataFrame = {
+    // band rows materialized once (the banded self-join reads them from
+    // two plan branches; a lazy frame would re-run the signature UDF per
+    // branch), then capped and self-joined. localCheckpoint blocks are
+    // GC-reclaimed with the plan, unlike registered caches.
+    val bandRows = minHashBandRows(df, textCol, idCol, shingleSize,
+      numHashes, bands, seed).localCheckpoint(true)
+
+    // bucket-width cap: skip degenerate buckets before the self-join
+    val wB = Window.partitionBy("band", "key")
+    val capped = bandRows.withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
+    val a = capped.select(col("band"), col("key"), col("_id").as("idA"))
+    val b = capped.select(col("band"), col("key"), col("_id").as("idB"))
+    // candidates are SMALL by construction (bucket cap bounds the fan-out)
+    val cand = a.join(b, Seq("band", "key"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+      .localCheckpoint(true)
+
+    // exact verify on candidates only (ADVICE round 1: the threshold must
+    // operate on the exact Jaccard, not the signature estimate)
+    val sh = df.select(col(idCol).as("_jid"),
+      shingles(col(textCol), shingleSize).as("_jsh"))
+    cand
+      .join(sh.withColumnRenamed("_jid", "idA").withColumnRenamed("_jsh", "shA"), Seq("idA"))
+      .join(sh.withColumnRenamed("_jid", "idB").withColumnRenamed("_jsh", "shB"), Seq("idB"))
+      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("long"))
+      .withColumn("uni", size(array_union(col("shA"), col("shB"))).cast("long"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0))
+      .filter(col("jaccard") >= minJaccard)
+      .select("idA", "idB", "inter", "uni", "jaccard")
+  }
+
+  /** The banded-bucket rows of [[minHashLsh]] as a standalone table:
+    * (_id, band, key) — one row per (doc, band), key = the band's raw
+    * signature slice. Persist this (parquet append per ingested batch) to
+    * run [[minHashLshIncremental]] without ever re-hashing the corpus.
+    * Parameters must match across batches (same seed/bands/numHashes —
+    * the store is only meaningful under one hash family).
+    */
+  def minHashBandRows(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val consts = CrossHash.deriveConstants(numHashes, seed)
     val nH = numHashes
     val shSize = shingleSize
-
     val sigU = udf { (text: String) =>
       val sh = shinglesOf(text, shSize)
       if (sh.isEmpty) null
       else {
-        val mins = Array.fill(nH)(-1L) // unsigned max
+        val mins = Array.fill(nH)(-1L)
         var j = 0
         while (j < sh.length) {
           val base = CrossHash.md5Lower64(sh(j))
@@ -112,56 +158,66 @@ object Dedup {
         mins
       }
     }
-
-    // persist the signatures while generating candidates: the banded
-    // self-join would otherwise re-run the signature UDF once per plan
-    // branch; released again below once candidates are materialized
-    val withSig = df
-      .select(col(idCol).as("_id"), sigU(col(textCol)).as("sig"))
+    df.select(col(idCol).as("_id"), sigU(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // band key = the band's signature slice (joined as a raw array — no
-    // re-hash, so the oracle's tuple-equality grouping is bit-identical)
-    val bandRows = withSig.select(col("_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))
-      }: _*)).as("bb"))
+      .select(col("_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))
+        }: _*)).as("bb"))
       .select(col("_id"), col("bb.band"), col("bb.key"))
+  }
 
-    // bucket-width cap: skip degenerate buckets before the self-join
+  /** Incremental near-dup: candidate pairs TOUCHING a newly ingested batch
+    * — new×new and new×existing, never existing×existing — against a
+    * persisted [[minHashBandRows]] store, so each ingested batch pays
+    * O(batch) signature hashing and a banded join instead of a full-corpus
+    * re-pair. This is the batch-sweep half of the streaming layout
+    * completed: [[graft.streaming.StreamingDedup.firstSeen]] gates exact
+    * in-window duplicates on the stream; this sweeps each landed batch for
+    * near-dups against everything already landed.
+    *
+    * Exactness contract (spec-pinned): with the bucket cap evaluated on
+    * the UNION store (old ∪ new rows — identical widths to a full batch
+    * run), the result equals `minHashLsh(corpus ∪ newDocs)` restricted to
+    * pairs with at least one new id. Requires ids unique across
+    * corpus ∪ newDocs and the same hash-family parameters as the store.
+    *
+    * `corpus` supplies text for the exact-Jaccard verify only — it is
+    * scanned (two pruned joins on candidate ids), never re-hashed and
+    * never self-joined. Append `minHashBandRows(newDocs)` to the store
+    * after each sweep.
+    */
+  def minHashLshIncremental(newDocs: DataFrame, corpus: DataFrame,
+      bandStore: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.8, seed: Long = 42L,
+      maxBucketSize: Int = 64): DataFrame = {
+    val newRows = minHashBandRows(newDocs, textCol, idCol, shingleSize,
+      numHashes, bands, seed).localCheckpoint(true)
+    val all = bandStore.select(col("_id"), col("band"), col("key"))
+      .withColumn("isNew", lit(false))
+      .union(newRows.withColumn("isNew", lit(true)))
     val wB = Window.partitionBy("band", "key")
-    val capped = bandRows.withColumn("bsz", count(lit(1)).over(wB))
+    val capped = all.withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
-
-    val a = capped.select(col("band"), col("key"), col("_id").as("idA"))
-    val b = capped.select(col("band"), col("key"), col("_id").as("idB"))
-    // candidates are SMALL by construction (bucket cap bounds the fan-out):
-    // materialize them eagerly so the signature cache can be released here
-    // instead of leaking for the session lifetime; localCheckpoint blocks
-    // are GC-reclaimed with the plan, unlike registered caches
+    val a = capped.filter(col("isNew"))
+      .select(col("band"), col("key"), col("_id").as("idN"))
+    val b = capped.select(col("band"), col("key"), col("_id").as("idO"))
     val cand = a.join(b, Seq("band", "key"))
-      .filter(col("idA") < col("idB"))
-      .select("idA", "idB")
+      .filter(col("idN") =!= col("idO"))
+      .select(least(col("idN"), col("idO")).as("idA"),
+        greatest(col("idN"), col("idO")).as("idB"))
       .dropDuplicates("idA", "idB")
       .localCheckpoint(true)
-    withSig.unpersist(false)
-
-    // exact verify on candidates only (ADVICE round 1: the threshold must
-    // operate on the exact Jaccard, not the signature estimate)
-    val sh = df.select(col(idCol).as("_jid"),
-      shingles(col(textCol), shingleSize).as("_jsh"))
-    cand
-      .join(sh.withColumnRenamed("_jid", "idA").withColumnRenamed("_jsh", "shA"), Seq("idA"))
-      .join(sh.withColumnRenamed("_jid", "idB").withColumnRenamed("_jsh", "shB"), Seq("idB"))
-      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("long"))
-      .withColumn("uni", size(array_union(col("shA"), col("shB"))).cast("long"))
-      .withColumn("jaccard",
-        when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0))
-      .filter(col("jaccard") >= minJaccard)
-      .select("idA", "idB", "inter", "uni", "jaccard")
+    val text = corpus.select(col(idCol), col(textCol))
+      .union(newDocs.select(col(idCol), col(textCol)))
+    jaccardVerify(cand, text, textCol, idCol, shingleSize)
+      .filter(col("exact_jaccard") >= minJaccard)
+      .select(col("idA"), col("idB"), col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"),
+        col("exact_jaccard").as("jaccard"))
   }
 
   /** Exact pairwise n-gram Jaccard for candidate pairs produced by any

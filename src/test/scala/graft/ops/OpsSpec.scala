@@ -283,6 +283,28 @@ class OpsSpec extends SparkTestBase {
     assert(surv == Set(0L, 3L, 4L))
   }
 
+  test("incremental LSH equals full-batch pairs restricted to new docs") {
+    // corpus {0..3} already landed (band rows persisted); batch {4,5}
+    // arrives. Incremental must find exactly the full-run pairs touching a
+    // new id — (3,5) — and never re-pair old×old ((0,1),(0,2),(1,2))
+    val params = (2, 64, 32, 0.5) // shingle, hashes, bands, threshold
+    val (n, h, bnd, t) = params
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val fresh = docs.filter(col("doc_id") >= 4)
+    val store = Dedup.minHashBandRows(corpus, "text", "doc_id",
+      shingleSize = n, numHashes = h, bands = bnd)
+    val inc = Dedup.minHashLshIncremental(fresh, corpus, store,
+      "text", "doc_id", shingleSize = n, numHashes = h, bands = bnd,
+      minJaccard = t)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val full = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = n, numHashes = h, bands = bnd, minJaccard = t)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val expected = full.filter(p => p._1 >= 4 || p._2 >= 4)
+    assert(full.exists(p => p._1 < 4 && p._2 < 4)) // old×old really exists
+    assert(expected.nonEmpty && inc == expected)
+  }
+
   test("survivorsFromPairs composes with the exact ngram join") {
     // same fixture through the EXACT pair source — guaranteed-recall dedup
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
