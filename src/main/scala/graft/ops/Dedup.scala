@@ -378,6 +378,10 @@ object Dedup {
       .filter(col("rn") <=
         col("sz") - ceil(lit(minJaccard) * col("sz")) + lit(1))
       .select("shingle", "_id", "sz", "rn")
+      // materialized once: the self-join reads the prefix postings from
+      // two plan branches — without this the explode + df join + window
+      // subtree runs twice (seen in the formatted plan)
+      .localCheckpoint(true)
     val a = prefix.select(col("shingle"), col("_id").as("idA"),
       col("sz").as("szA"), col("rn").as("rnA"))
     val b = prefix.select(col("shingle"), col("_id").as("idB"),
@@ -561,9 +565,13 @@ object Dedup {
       }: _*)).as("ck"))
       .select(col("_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
     val wB = Window.partitionBy("chunk", "key")
+    // materialized once: the self-join reads capped chunks from two plan
+    // branches — without this the simhash UDF + explode + cap window
+    // subtree runs twice (same fix as ngramJaccardPairs / minHashLsh)
     val capped = chunked.withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
+      .localCheckpoint(true)
     val a = capped.select(col("chunk"), col("key"),
       col("_id").as("idA"), col("simhash").as("simA"))
     val b = capped.select(col("chunk"), col("key"),

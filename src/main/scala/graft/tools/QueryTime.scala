@@ -11,7 +11,8 @@ object QueryTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
-    val trials = if (args.length > 2) args(2).toInt else 3
+    val trials = args.lift(2).filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +22,12 @@ object QueryTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
-    (1 to trials).foreach { i =>
+    if (args.length > 2 && args(2) == "explain") {
+      // plan audit mode: formatted physical plan instead of timing —
+      // check pushdown (PushedFilters/ReadSchema), codegen spans, and
+      // exchange count the way the scale review expects
+      fn(spark, sfDir).explain("formatted")
+    } else (1 to trials).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
