@@ -86,18 +86,19 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.8, seed: Long = 42L,
       maxBucketSize: Int = 64): DataFrame = {
-    // band rows materialized once (the banded self-join reads them from
-    // two plan branches; a lazy frame would re-run the signature UDF per
-    // branch), then capped and self-joined. localCheckpoint blocks are
-    // GC-reclaimed with the plan, unlike registered caches.
     val bandRows = minHashBandRows(df, textCol, idCol, shingleSize,
-      numHashes, bands, seed).localCheckpoint(true)
+      numHashes, bands, seed)
 
-    // bucket-width cap: skip degenerate buckets before the self-join
+    // bucket-width cap, then materialize ONCE past it: the banded
+    // self-join reads capped rows from two plan branches — a lazy frame
+    // would re-run the signature UDF and the cap window per branch.
+    // localCheckpoint blocks are GC-reclaimed with the plan, unlike
+    // registered caches.
     val wB = Window.partitionBy("band", "key")
     val capped = bandRows.withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
+      .localCheckpoint(true)
 
     val a = capped.select(col("band"), col("key"), col("_id").as("idA"))
     val b = capped.select(col("band"), col("key"), col("_id").as("idB"))
@@ -194,14 +195,17 @@ object Dedup {
       minJaccard: Double = 0.8, seed: Long = 42L,
       maxBucketSize: Int = 64): DataFrame = {
     val newRows = minHashBandRows(newDocs, textCol, idCol, shingleSize,
-      numHashes, bands, seed).localCheckpoint(true)
+      numHashes, bands, seed)
     val all = bandStore.select(col("_id"), col("band"), col("key"))
       .withColumn("isNew", lit(false))
       .union(newRows.withColumn("isNew", lit(true)))
+    // one materialization past the cap window — both join branches (new
+    // side, all side) read it; see minHashLsh
     val wB = Window.partitionBy("band", "key")
     val capped = all.withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
+      .localCheckpoint(true)
     val a = capped.filter(col("isNew"))
       .select(col("band"), col("key"), col("_id").as("idN"))
     val b = capped.select(col("band"), col("key"), col("_id").as("idO"))
