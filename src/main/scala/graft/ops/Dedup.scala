@@ -326,6 +326,71 @@ object Dedup {
     cand.filter(col("cosine") >= minCosine)
   }
 
+  /** Incremental embedding near-dup — the vector-space sibling of
+    * [[minHashLshIncremental]]: candidate pairs touching a newly ingested
+    * batch against a persisted SRP-bucket store, which is EXACTLY the
+    * (id, srp_bucket, vec) table [[Similarity.withSrpBucket]] produces and
+    * `lshKnn` already materializes `partitionBy("srp_bucket")` — one
+    * persisted table serves both ANN search and incremental dedup. SRP
+    * buckets are pure functions of (seed, vector), so unlike the ngram
+    * join's df-dependent prefix order the store never goes stale.
+    *
+    * New rows probe ALL nBits 1-bit flips (both directions — the stored
+    * side does not probe back), pairs canonicalize with least/greatest and
+    * dedup, the width cap applies to UNION home-bucket widths; the result
+    * equals `embeddingNearDupPairs(corpus ∪ newDocs, probeHamming = 1)`
+    * restricted to pairs with at least one new id (spec-pinned). Ids must
+    * be unique across store ∪ newDocs.
+    */
+  def embeddingNearDupIncremental(newDocs: DataFrame, bucketStore: DataFrame,
+      vecCol: String, idCol: String, dim: Int, nBits: Int = 6,
+      seed: Long = 42L, minCosine: Double = 0.3,
+      maxBucketSize: Int = 256): DataFrame = {
+    import graft.ops.Similarity
+    val newRows = Similarity.withSrpBucket(newDocs, vecCol, dim, nBits, seed)
+      .select(col(idCol).as("_id"), col("srp_bucket"), col(vecCol).as("_v"),
+        lit(true).as("isNew"))
+    val all = bucketStore
+      .select(col(idCol).as("_id"), col("srp_bucket"), col(vecCol).as("_v"),
+        lit(false).as("isNew"))
+      .union(newRows)
+    val wB = Window.partitionBy("srp_bucket")
+    // one materialization past the cap window — both join branches read it
+    val capped = all.withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+      .localCheckpoint(true)
+    val cosU = udf { (va: Seq[Float], vb: Seq[Float]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(va.length, vb.length)
+      while (i < n) {
+        val x = va(i).toDouble; val y = vb(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0) dot / nn else 0.0
+    }
+    val b = capped.select(col("srp_bucket"), col("_id").as("idO"),
+      col("_v").as("vb"))
+    val flips = (0 until nBits).map(bb =>
+      col("srp_bucket").bitwiseXOR(lit(1L << bb)))
+    val aNew = capped.filter(col("isNew"))
+      .select(explode(array((col("srp_bucket") +: flips): _*)).as("srp_bucket"),
+        col("_id").as("idN"), col("_v").as("va"))
+    aNew.join(b, Seq("srp_bucket"))
+      .filter(col("idN") =!= col("idO"))
+      // canonicalize and dedup BEFORE the cosine UDF: new×new pairs are
+      // enumerated from both sides and would pay the verify twice
+      .select(least(col("idN"), col("idO")).as("idA"),
+        greatest(col("idN"), col("idO")).as("idB"), col("va"), col("vb"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("cosine", cosU(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("idA", "idB", "cosine")
+  }
+
   /** EXACT n-gram Jaccard self-join via prefix filtering (the SSJoin /
     * PPJoin family — Chaudhuri et al., "A Primitive Operator for Similarity
     * Joins", ICDE'06; Xiao et al., "Efficient Similarity Joins for Near

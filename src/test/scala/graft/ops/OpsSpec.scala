@@ -236,6 +236,21 @@ class OpsSpec extends SparkTestBase {
       .select("idA", "idB").as[(Long, Long)].collect()
     assert(got.length == got.toSet.size, "no duplicate pairs")
     assert(got.toSet == brute)
+
+    // incremental against the persisted SRP store: corpus {0..79} stored,
+    // batch {80..119} arrives — exactly the brute pairs touching a new id,
+    // old×old never re-derived
+    val store = Similarity.withSrpBucket(
+      rows.take(80).toDF("vec_id", "embedding"), "embedding", dim,
+      nBits, seed)
+    val inc = Dedup.embeddingNearDupIncremental(
+      rows.drop(80).toDF("vec_id", "embedding"), store, "embedding",
+      "vec_id", dim, nBits = nBits, seed = seed, minCosine = minCos)
+      .select("idA", "idB").as[(Long, Long)].collect()
+    assert(inc.length == inc.toSet.size, "no duplicate pairs")
+    val expected = brute.filter(p => p._1 >= 80 || p._2 >= 80)
+    assert(brute.exists(p => p._1 < 80 && p._2 < 80)) // old×old really exists
+    assert(expected.nonEmpty && inc.toSet == expected)
   }
 
   test("deterministic sampling/split: partition, reproducibility, strata") {
