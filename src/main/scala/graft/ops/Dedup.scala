@@ -110,18 +110,14 @@ object Dedup {
       .localCheckpoint(true)
 
     // exact verify on candidates only (ADVICE round 1: the threshold must
-    // operate on the exact Jaccard, not the signature estimate)
-    val sh = df.select(col(idCol).as("_jid"),
-      shingles(col(textCol), shingleSize).as("_jsh"))
-    cand
-      .join(sh.withColumnRenamed("_jid", "idA").withColumnRenamed("_jsh", "shA"), Seq("idA"))
-      .join(sh.withColumnRenamed("_jid", "idB").withColumnRenamed("_jsh", "shB"), Seq("idB"))
-      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("long"))
-      .withColumn("uni", size(array_union(col("shA"), col("shB"))).cast("long"))
-      .withColumn("jaccard",
-        when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0))
-      .filter(col("jaccard") >= minJaccard)
-      .select("idA", "idB", "inter", "uni", "jaccard")
+    // operate on the exact Jaccard, not the signature estimate);
+    // jaccardVerify semi-prunes the shingle scan to candidate ids
+    jaccardVerify(cand, df, textCol, idCol, shingleSize)
+      .filter(col("exact_jaccard") >= minJaccard)
+      .select(col("idA"), col("idB"),
+        col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"),
+        col("exact_jaccard").as("jaccard"))
   }
 
   /** The banded-bucket rows of [[minHashLsh]] as a standalone table:
@@ -227,11 +223,22 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard for candidate pairs produced by any
     * blocking scheme: join back to shingle sets and compute
     * |A∩B| / |A∪B| with array expressions.
+    *
+    * Shingles are computed ONLY for docs that appear in a pair (left-semi
+    * prune) and materialized once — without it the corpus-wide shingle
+    * expression runs twice, once per join side, and verify cost scales
+    * with the corpus instead of the (cap-bounded) candidate set. Eager:
+    * evaluating `pairs` is triggered here.
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: String,
       idCol: String, shingleSize: Int = 3): DataFrame = {
+    val ids = pairs.select(col("idA").as("_jid"))
+      .union(pairs.select(col("idB").as("_jid")))
+      .distinct()
     val sh = df.select(col(idCol).as("_jid"),
-      shingles(col(textCol), shingleSize).as("_jsh"))
+        shingles(col(textCol), shingleSize).as("_jsh"))
+      .join(ids, Seq("_jid"), "left_semi")
+      .localCheckpoint(true)
     pairs
       .join(sh.withColumnRenamed("_jid", "idA").withColumnRenamed("_jsh", "shA"), Seq("idA"))
       .join(sh.withColumnRenamed("_jid", "idB").withColumnRenamed("_jsh", "shB"), Seq("idB"))
