@@ -475,9 +475,17 @@ object Dedup {
         ceil(lit(minJaccard) / (lit(1.0) + lit(minJaccard)) *
           (col("szA") + col("szB"))))
       .select("idA", "idB")
-    val sa = sets.select(col("_id").as("idA"), col("sh").as("sa"))
-    val sb = sets.select(col("_id").as("idB"), col("sh").as("sb"))
-    cand.join(sa, "idA").join(sb, "idB")
+    // verify joins read only candidate docs' shingle sets: semi-prune the
+    // (checkpointed, corpus-wide) sets table down to pair ids first so the
+    // two joins shuffle candidate-bounded data, not the corpus
+    val candM = cand.localCheckpoint(true)
+    val ids = candM.select(col("idA").as("_id"))
+      .union(candM.select(col("idB").as("_id"))).distinct()
+    val pruned = sets.join(ids, Seq("_id"), "left_semi")
+      .localCheckpoint(true)
+    val sa = pruned.select(col("_id").as("idA"), col("sh").as("sa"))
+    val sb = pruned.select(col("_id").as("idB"), col("sh").as("sb"))
+    candM.join(sa, "idA").join(sb, "idB")
       .withColumn("inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("uni",
