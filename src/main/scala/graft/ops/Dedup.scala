@@ -179,6 +179,11 @@ object Dedup {
     * run), the result equals `minHashLsh(corpus ∪ newDocs)` restricted to
     * pairs with at least one new id. Requires ids unique across
     * corpus ∪ newDocs and the same hash-family parameters as the store.
+    * Chained sweeps telescope — sweep(b1 vs ∅) ∪ sweep(b2 vs store(b1))
+    * ∪ … equals one full run (spec-pinned) — EXCEPT pairs whose bucket
+    * was under `maxBucketSize` at their sweep but crosses the cap later:
+    * a full re-run would skip those (the cap is evaluated against each
+    * sweep's union store, and earlier sweeps are never revisited).
     *
     * `corpus` supplies text for the exact-Jaccard verify only — it is
     * scanned (two pruned joins on candidate ids), never re-hashed and

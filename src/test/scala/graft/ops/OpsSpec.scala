@@ -320,6 +320,33 @@ class OpsSpec extends SparkTestBase {
     assert(expected.nonEmpty && inc == expected)
   }
 
+  test("incremental LSH telescopes: per-batch sweeps union to the full run") {
+    // ingest in two batches, band-store appended after each sweep —
+    // sweep(b1 vs ∅) ∪ sweep(b2 vs store(b1)) must equal the full batch
+    // run over everything (every pair found exactly once, by the batch
+    // that completed it)
+    val (n, h, bnd, t) = (2, 64, 32, 0.5)
+    val b1 = docs.filter(col("doc_id") <= 2)
+    val b2 = docs.filter(col("doc_id") >= 3)
+    val empty = b1.limit(0)
+    val emptyStore = Dedup.minHashBandRows(empty, "text", "doc_id",
+      shingleSize = n, numHashes = h, bands = bnd)
+    val sweep1 = Dedup.minHashLshIncremental(b1, empty, emptyStore,
+      "text", "doc_id", shingleSize = n, numHashes = h, bands = bnd,
+      minJaccard = t).as[(Long, Long, Long, Long, Double)].collect().toSet
+    val store1 = Dedup.minHashBandRows(b1, "text", "doc_id",
+      shingleSize = n, numHashes = h, bands = bnd)
+    val sweep2 = Dedup.minHashLshIncremental(b2, b1, store1,
+      "text", "doc_id", shingleSize = n, numHashes = h, bands = bnd,
+      minJaccard = t).as[(Long, Long, Long, Long, Double)].collect().toSet
+    val full = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = n, numHashes = h, bands = bnd, minJaccard = t)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(sweep1.nonEmpty && sweep2.nonEmpty)
+    assert((sweep1 & sweep2).isEmpty, "no pair found twice")
+    assert((sweep1 | sweep2) == full)
+  }
+
   test("survivorsFromPairs composes with the exact ngram join") {
     // same fixture through the EXACT pair source — guaranteed-recall dedup
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
