@@ -672,4 +672,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("idA", "idB", "hamming")
   }
+
+  /** Incremental SimHash near-dup — completes the incremental trio
+    * ([[minHashLshIncremental]], [[embeddingNearDupIncremental]]): the
+    * persisted store is simply the (id, simhash) table [[simHash]]
+    * produces — ONE long per doc, the cheapest of the three stores — and
+    * each ingested batch hashes only itself, chunks new∪old, and joins
+    * new chunk rows against the union. Equals
+    * `simHashPairs(corpus ∪ newDocs)` restricted to pairs touching a new
+    * id, with the width cap evaluated on union chunk-bucket widths
+    * (spec-pinned); ids must be unique across store ∪ newDocs.
+    */
+  def simHashIncremental(newDocs: DataFrame, simHashStore: DataFrame,
+      textCol: String, idCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 64): DataFrame = {
+    val withSim = simHash(newDocs, textCol, idCol)
+      .select(col(idCol).as("_id"), col("simhash"), lit(true).as("isNew"))
+    val all = simHashStore
+      .select(col(idCol).as("_id"), col("simhash"), lit(false).as("isNew"))
+      .union(withSim)
+    val chunked = all.select(col("_id"), col("simhash"), col("isNew"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
+      }: _*)).as("ck"))
+      .select(col("_id"), col("simhash"), col("isNew"),
+        col("ck.chunk"), col("ck.key"))
+    // one materialization past the cap window — both join branches read it
+    val wB = Window.partitionBy("chunk", "key")
+    val capped = chunked.withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+      .localCheckpoint(true)
+    val a = capped.filter(col("isNew")).select(col("chunk"), col("key"),
+      col("_id").as("idN"), col("simhash").as("simN"))
+    val b = capped.select(col("chunk"), col("key"),
+      col("_id").as("idO"), col("simhash").as("simO"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("idN") =!= col("idO"))
+      .select(least(col("idN"), col("idO")).as("idA"),
+        greatest(col("idN"), col("idO")).as("idB"),
+        // hamming is symmetric, so the (simN, simO) orientation is moot
+        hamming(col("simN"), col("simO")).as("hamming"))
+      .dropDuplicates("idA", "idB")
+      .filter(col("hamming") <= maxHamming)
+      .select("idA", "idB", "hamming")
+  }
 }

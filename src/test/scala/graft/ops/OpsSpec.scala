@@ -134,6 +134,33 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("incremental simhash equals full-batch pairs restricted to new docs") {
+    // store is the (id, simhash) table itself; the batch {4,5} (4 = exact
+    // dup of 0/1) sweeps against corpus {0..3} — exactly the full-run
+    // pairs touching a new id, and the old×old dup (0,1) is never
+    // re-derived
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"), // old exact dup of 0
+      (2L, "wholly different text one two three"),
+      (3L, "alpha beta gamma delta zeta"),
+      (4L, "alpha beta gamma delta epsilon"), // NEW exact dup of 0/1
+      (5L, "unrelated quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val newIds = Set(4L, 5L)
+    val corpus = rows.filter(!col("doc_id").isin(newIds.toSeq: _*))
+    val fresh = rows.filter(col("doc_id").isin(newIds.toSeq: _*))
+    val store = Dedup.simHash(corpus, "text", "doc_id")
+      .select("doc_id", "simhash")
+    val inc = Dedup.simHashIncremental(fresh, store, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.simHashPairs(rows, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    assert(full.exists(p => !newIds(p._1) && !newIds(p._2))) // old×old exists
+    assert(expected.nonEmpty && inc == expected)
+  }
+
   test("embedding near-dup pairs: planted dup found, cap prunes") {
     val rnd = new scala.util.Random(41)
     val dim = 16
