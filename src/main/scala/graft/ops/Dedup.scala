@@ -44,6 +44,29 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_duplicates"))
 
+  /** Incremental exact dedup: survivors of a newly ingested batch against
+    * a persisted hash store — first-wins across batches (a hash already in
+    * the store drops the new row; within the batch the min-id row
+    * survives), the batch-sweep twin of
+    * [[graft.streaming.StreamingDedup.firstSeen]] with no watermark bound,
+    * and the exact member of the incremental family
+    * ([[minHashLshIncremental]] / [[simHashIncremental]] /
+    * [[embeddingNearDupIncremental]]). The store is one 32-char hash per
+    * distinct content ever landed; append the survivors' `content_hash`
+    * column after each sweep. Only the batch is hashed; the store is
+    * never rescanned beyond one anti-join keyed on the hash.
+    */
+  def exactIncremental(newDocs: DataFrame, hashStore: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    newDocs.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("_min", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("_min"))
+      .drop("_min")
+      .join(hashStore.select(col("content_hash")), Seq("content_hash"),
+        "left_anti")
+  }
+
   /** Word shingles (n-gram strings) of the nonempty whitespace tokens — the
     * input to MinHash / Jaccard. Compiled UDF over the JVM kernel: Spark
     * evaluates higher-order-function expressions (transform/slice/

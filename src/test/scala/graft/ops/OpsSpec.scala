@@ -134,6 +134,18 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("incremental exact dedup: first-wins across batches and in-batch") {
+    val b1 = Seq((0L, "aa"), (1L, "bb"), (2L, "aa")).toDF("doc_id", "text")
+    val s1 = Dedup.exactIncremental(b1, b1.limit(0)
+        .select(md5(col("text")).as("content_hash")), "text", "doc_id")
+    assert(s1.select("doc_id").as[Long].collect().toSet == Set(0L, 1L))
+    val store = s1.select("content_hash")
+    // batch 2: "aa" already landed (dropped), "cc" new with in-batch dup
+    val b2 = Seq((3L, "aa"), (4L, "cc"), (5L, "cc")).toDF("doc_id", "text")
+    val s2 = Dedup.exactIncremental(b2, store, "text", "doc_id")
+    assert(s2.select("doc_id").as[Long].collect().toSet == Set(4L))
+  }
+
   test("incremental simhash equals full-batch pairs restricted to new docs") {
     // store is the (id, simhash) table itself; the batch {4,5} (4 = exact
     // dup of 0/1) sweeps against corpus {0..3} — exactly the full-run
