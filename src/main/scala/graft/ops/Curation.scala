@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call corpus curation: the standard LLM training-data preparation
+  * pipeline the individual ops implement, composed in the canonical order
+  * with each stage's 100-TB shape preserved:
+  *
+  *   1. exact dedup — [[Dedup.exactCanonicalIds]] + left-semi join back
+  *      (the exchange carries hash+id pairs only, never text);
+  *   2. near-dup removal — [[Dedup.nearDupSurvivors]] (MinHash-LSH pairs →
+  *      connected components → anti-join losers; the corpus itself never
+  *      self-shuffles);
+  *   3. quality gate — [[TextAnalysis.qualityScore]], expression-only;
+  *   4. language gate — [[TextAnalysis.langId]], per-row UDF, no shuffle;
+  *   5. train/val/test split — [[Sampling.split]], deterministic hash
+  *      cut: no RNG, no shuffle, reproducible at any parallelism.
+  *
+  * Returns surviving rows with (content-preserving) added columns
+  * `quality`, `lang_pred`, `split`. Every stage is individually
+  * oracle-checked by its own contract query (q_dedup_exact,
+  * q_minhash_pairs, q_dedup_clusters, q_quality_class, q_langid,
+  * q_split); this composition is spec-pinned against running the stages
+  * by hand.
+  */
+object Curation {
+
+  /** Knobs for [[curate]]; defaults mirror the individual ops' defaults. */
+  final case class Config(
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 64,
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Seq("en"),
+      splitSeed: String = "graft",
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+
+  def curate(df: DataFrame, textCol: String, idCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val canon = Dedup.exactCanonicalIds(df, textCol, idCol)
+      .select(col("canonical_id").as(idCol))
+    val exactKept = df.join(canon, Seq(idCol), "left_semi")
+    val survivors = Dedup.nearDupSurvivors(exactKept, textCol, idCol,
+      cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.minJaccard, cfg.seed,
+      cfg.maxBucketSize)
+    val gated = TextAnalysis.langId(
+        TextAnalysis.qualityScore(survivors, textCol), textCol)
+      .filter(col("quality") >= cfg.minQuality &&
+        col("lang_pred").isin(cfg.keepLangs: _*))
+    Sampling.split(gated, col(idCol), cfg.splitSeed, cfg.fractions)
+  }
+}

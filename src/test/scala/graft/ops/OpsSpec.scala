@@ -134,6 +134,28 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("curation pipeline: each stage drops its planted victim") {
+    val en1 = "the quick brown fox and the lazy dog of the meadow run to town"
+    val en2 = "a parser of the stream reads tokens and emits the tree in order"
+    val corpus = Seq(
+      (0L, en1),                        // survives
+      (1L, en1),                        // exact dup -> stage 1
+      (2L, en1 + " tonight"),           // near-dup superset -> stage 2
+      (3L, "der hund und die katze sch ich ein haus und der baum die tür"), // lang gate
+      (4L, "!!! ??? ... ___"),          // quality gate (short + punct)
+      (5L, en2)                         // survives
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(corpus, "text", "doc_id")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 5L))
+    // annotation columns present and populated
+    val row = out.filter(col("doc_id") === 0L)
+      .select("quality", "lang_pred", "split")
+      .as[(Double, String, String)].collect().head
+    assert(row._1 >= 0.5 && row._2 == "en" &&
+      Set("train", "val", "test")(row._3))
+  }
+
   test("incremental exact dedup: first-wins across batches and in-batch") {
     val b1 = Seq((0L, "aa"), (1L, "bb"), (2L, "aa")).toDF("doc_id", "text")
     val s1 = Dedup.exactIncremental(b1, b1.limit(0)
