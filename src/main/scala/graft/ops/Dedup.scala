@@ -588,10 +588,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs
-      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .union(pairs
-        .select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+    // materialize the pair list once BEFORE mirroring it: the union reads
+    // `pairs` from two plan branches, and the caller's whole
+    // pair-generation pipeline (blocking join + verify) would run twice
+    val p = pairs
+      .select(col(idACol).cast("long").as("src"),
+        col(idBCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id"))
