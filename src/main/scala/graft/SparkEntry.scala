@@ -434,6 +434,60 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster"))
         .orderBy("doc_id")
     }),
+    // ---- incremental family: each batch sweep must equal the full run
+    // ---- restricted to pairs touching the batch (contracts spec-pinned in
+    // ---- Dedup.scala). The oracles replay the FULL pipeline in DuckDB and
+    // ---- apply that restriction, so the driver hash-checks the
+    // ---- incremental==full equivalence end-to-end, not just row counts.
+    // ---- Batch = ids with id % 4 == 3; store built from the rest. ----
+    "q_dedup_incr" -> ((s, d) => {
+      // exact first-wins sweep against the persisted content-hash store
+      val docs = table(s, d, "documents")
+      val store = docs.filter(col("doc_id") % 4 =!= 3)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      Dedup.exactIncremental(docs.filter(col("doc_id") % 4 === 3), store,
+          "text", "doc_id")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    }),
+    "q_minhash_incr" -> ((s, d) => {
+      // banded-LSH sweep against the persisted band-row store (same hash
+      // family / bands / cap as q_minhash_pairs — the store is only
+      // meaningful under one parameterization)
+      val docs = table(s, d, "documents")
+      val base = docs.filter(col("doc_id") % 4 =!= 3)
+      val store = Dedup.minHashBandRows(base, "text", "doc_id",
+        shingleSize = 2, numHashes = 64, bands = 16, seed = 42L)
+      Dedup.minHashLshIncremental(docs.filter(col("doc_id") % 4 === 3),
+          base, store, "text", "doc_id", shingleSize = 2, numHashes = 64,
+          bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64)
+        .orderBy(desc("jaccard"), col("idA"), col("idB"))
+        .limit(50)
+        .select("idA", "idB", "inter", "uni")
+    }),
+    "q_simhash_incr" -> ((s, d) => {
+      // simhash sweep against the persisted (id, simhash) store
+      val docs = table(s, d, "documents")
+      val store = Dedup.simHash(docs.filter(col("doc_id") % 4 =!= 3),
+        "text", "doc_id").select("doc_id", "simhash")
+      Dedup.simHashIncremental(docs.filter(col("doc_id") % 4 === 3), store,
+          "text", "doc_id", maxHamming = 8, maxBucketSize = 64)
+        .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("hamming"), col("idA"), col("idB"))
+        .limit(50)
+    }),
+    "q_embed_incr" -> ((s, d) => {
+      // embedding sweep against the persisted SRP-bucket table (the same
+      // table lshKnn serves ANN from — one store, two workloads)
+      val emb = table(s, d, "embeddings")
+      val store = Similarity.withSrpBucket(
+        emb.filter(col("vec_id") % 4 =!= 3), "embedding", dim = 64,
+        nBits = 6, seed = 42L)
+      Dedup.embeddingNearDupIncremental(emb.filter(col("vec_id") % 4 === 3),
+          store, "embedding", "vec_id", dim = 64, nBits = 6, seed = 42L,
+          minCosine = 0.3, maxBucketSize = 256)
+        .orderBy("idA", "idB")
+    }),
     "q_langid" -> ((s, d) => {
       TextAnalysis.langId(table(s, d, "documents"), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
@@ -622,7 +676,8 @@ object SparkEntry {
     * CrossHash.deriveConstants — one source of truth.
     */
   private def minhashOracle(shingleSize: Int, numHashes: Int, bands: Int,
-      minJaccard: Double, seed: Long, maxBucketSize: Int, limit: Int): String = {
+      minJaccard: Double, seed: Long, maxBucketSize: Int, limit: Int,
+      touch: String = ""): String = {
     import graft.functions.CrossHash
     val consts = CrossHash.deriveConstants(numHashes, seed)
     val r = numHashes / bands
@@ -667,10 +722,18 @@ object SparkEntry {
        |    CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS uni
        |  FROM cand JOIN sh sa ON sa.doc_id = idA JOIN sh sb ON sb.doc_id = idB)
        |SELECT idA, idB, inter, uni FROM verified
-       |WHERE inter::DOUBLE / uni >= $minJaccard
+       |WHERE inter::DOUBLE / uni >= $minJaccard${touchSql(touch)}
        |ORDER BY inter::DOUBLE / uni DESC, idA, idB
        |LIMIT $limit""".stripMargin
   }
+
+  /** Optional restriction appended to an oracle's final WHERE — the
+    * incremental contract queries reuse the FULL-pipeline oracles plus a
+    * "pair touches the new batch" predicate, which is exactly the
+    * spec-pinned equality each incremental sweep guarantees.
+    */
+  private def touchSql(touch: String): String =
+    if (touch.isEmpty) "" else s" AND ($touch)"
 
   /** DuckDB SQL replaying q_ngram_jaccard end-to-end: same shingling as
     * the minhash oracle, the same global (df, shingle) rarity order,
@@ -764,10 +827,10 @@ object SparkEntry {
   }
 
   private def simhashOracle(maxHamming: Int, limit: Int,
-      maxBucketSize: Int): String =
+      maxBucketSize: Int, touch: String = ""): String =
     s"""WITH ${simhashPairsCte(maxBucketSize)}
        |SELECT idA, idB, CAST(hd AS INT) AS hamming FROM pairs
-       |WHERE hd <= $maxHamming
+       |WHERE hd <= $maxHamming${touchSql(touch)}
        |ORDER BY hd, idA, idB LIMIT $limit""".stripMargin
 
   /** DuckDB SQL replaying q_dedup_clusters: the same simhash pair set, then
@@ -887,7 +950,8 @@ object SparkEntry {
     * predicate over the capped set: the same pair set.
     */
   private def embedNearDupOracle(dim: Int, nBits: Int, seed: Long,
-      minCosine: Double, maxBucketSize: Int, probeHamming: Int): String = {
+      minCosine: Double, maxBucketSize: Int, probeHamming: Int,
+      touch: String = ""): String = {
     val model = graft.ops.Similarity.SrpModel(dim, nBits, seed)
     val fold = SrpSql.fold(dim) _
     val bucketExpr = SrpSql.bucketExpr(model, dim)
@@ -913,7 +977,7 @@ object SparkEntry {
        |SELECT idA, idB,
        |  CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END AS cosine
        |FROM scored
-       |WHERE CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END >= $minCosine
+       |WHERE CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END >= $minCosine${touchSql(touch)}
        |ORDER BY idA, idB""".stripMargin
   }
 
@@ -1103,6 +1167,28 @@ object SparkEntry {
       minJaccard = 0.6, limit = 50),
     "q_dedup_clusters" -> dedupClustersOracle(maxHamming = 8,
       maxBucketSize = 64),
+    // incremental family: the FULL-pipeline oracle restricted to pairs
+    // touching the new batch (ids with id % 4 = 3) — the spec-pinned
+    // incremental==full equality, hash-checked by the driver
+    "q_dedup_incr" ->
+      """WITH nb AS (SELECT doc_id, md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |st AS (SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |w AS (SELECT doc_id, content_hash,
+        |  MIN(doc_id) OVER (PARTITION BY content_hash) AS mn FROM nb)
+        |SELECT doc_id, content_hash FROM w
+        |WHERE doc_id = mn
+        |  AND NOT EXISTS (SELECT 1 FROM st WHERE st.content_hash = w.content_hash)
+        |ORDER BY doc_id""".stripMargin,
+    "q_minhash_incr" -> minhashOracle(shingleSize = 2, numHashes = 64,
+      bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+      limit = 50, touch = "idA % 4 = 3 OR idB % 4 = 3"),
+    "q_simhash_incr" -> simhashOracle(maxHamming = 8, limit = 50,
+      maxBucketSize = 64, touch = "idA % 4 = 3 OR idB % 4 = 3"),
+    "q_embed_incr" -> embedNearDupOracle(dim = 64, nBits = 6, seed = 42L,
+      minCosine = 0.3, maxBucketSize = 256, probeHamming = 1,
+      touch = "idA % 4 = 3 OR idB % 4 = 3"),
     "q_split" -> splitOracle("graft",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2, k = 100000),
