@@ -46,6 +46,49 @@ object TierProbe {
     }
     coldBulk("cold-bulk no-prewarm", (256L << 20) + 1, prewarm = false)
     coldBulk("cold-bulk prewarmed ", (256L << 20) + 2, prewarm = true)
+    // cache-policy probe: FIFO vs LRU on a Zipf-skewed single-term workload
+    // under a tight byte budget (40% of the universe's resident bytes) —
+    // the regime where eviction policy matters: the Zipf head fits, the
+    // tail churns. Deterministic draw sequence, shared by both policies.
+    // universe = the index's own top-df dictionary terms (so the probe
+    // works over any corpus), restricted to analyzer fixed points so
+    // resolve(term) round-trips to the same dict entry
+    val meta = graft.index.Snapshot.load(dir)
+      .getOrElse(sys.error(s"no snapshot at $dir"))
+    val universe = spark.read.parquet(meta.dictDir(dir))
+      .select("term", "df")
+      .orderBy(org.apache.spark.sql.functions.desc("df"),
+        org.apache.spark.sql.functions.col("term"))
+      .limit(80).collect().map(_.getString(0))
+      .filter(t =>
+        graft.analyzer.Analyzers.analyze(meta.analyzer, t).toSeq == Seq(t))
+      .take(30).toSeq
+    val sizer = IndexReader.open(spark, dir,
+      IndexReader.ReaderConfig(0, 0, 4096L << 20))
+    sizer.prewarmShards(
+      universe.flatMap(q => sizer.resolve(q).terms.map(_.term)))
+    val totalBytes = sizer.shardCacheBytesUsed
+    val budget = math.max(1L, (totalBytes * 2) / 5)
+    val rnd = new scala.util.Random(7)
+    val weights = universe.indices.map(i => 1.0 / math.pow(i + 1, 1.1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val draws = Seq.fill(500) {
+      val x = rnd.nextDouble() * cum.last
+      universe(cum.indexWhere(x <= _))
+    }
+    def policy(label: String, lru: Boolean): Unit = {
+      val r = IndexReader.open(spark, dir,
+        IndexReader.ReaderConfig(0, 0, budget, shardCacheLru = lru))
+      val t0 = System.nanoTime()
+      draws.foreach(q => r.searchHits(r.resolve(q), 100))
+      val ms = (System.nanoTime() - t0) / 1e6
+      val (h, m) = r.shardCacheStats
+      println(f"[tier] policy $label hit-rate=${h.toDouble / (h + m)}%.3f " +
+        f"(${h}h/${m}m) total=$ms%.0f ms " +
+        f"budget=${budget / 1024}KB of ${totalBytes / 1024}KB resident")
+    }
+    policy("fifo", lru = false)
+    policy("lru ", lru = true)
     spark.stop()
   }
 }

@@ -248,6 +248,34 @@ class EngineSpec extends SparkTestBase {
     assert(dRq.terms.toSet == cRq.terms.toSet, "fuzzy expansion differs across tiers")
   }
 
+  test("shard-cache policy: LRU keeps the re-hit term resident, FIFO cycles it") {
+    import graft.query.IndexReader
+    val terms = Seq("parser", "codec", "builder")
+    // size each term's resident shard bytes with an unbounded cache
+    val sizer = IndexReader.open(spark, indexDir,
+      IndexReader.ReaderConfig(0, 0, 1L << 30))
+    val sizes = terms.map { t =>
+      val before = sizer.shardCacheBytesUsed
+      sizer.searchHits(sizer.resolve(t), 10)
+      sizer.shardCacheBytesUsed - before
+    }
+    assert(sizes.forall(_ > 0), s"sizing failed: $sizes")
+    // any two terms fit, all three never — the regime where policy matters
+    val budget = sizes.sum - sizes.min
+    val accesses = Seq(0, 1, 0, 2, 0, 1, 0, 2, 0).map(terms)
+    def run(lru: Boolean): (Long, Long) = {
+      val r = IndexReader.open(spark, indexDir,
+        IndexReader.ReaderConfig(0, 0, budget, shardCacheLru = lru))
+      accesses.foreach(q => r.searchHits(r.resolve(q), 10))
+      r.shardCacheStats
+    }
+    // LRU: every re-access of term 0 after the first is a hit (4h/5m);
+    // FIFO: insertion order evicts term 0 while it is still the hottest
+    // (2h/7m). Exact traces — the budget admits exactly two terms.
+    assert(run(lru = true) == ((4L, 5L)), "LRU should keep the head term")
+    assert(run(lru = false) == ((2L, 7L)), "FIFO should cycle the head term")
+  }
+
   test("fuzzy search matches oracle and finds misspellings") {
     for (q <- Seq("improt spark", "mrege posting", "snapshto")) {
       val rq = Searcher.resolve(spark, indexDir, q, fuzzy = true)
