@@ -72,4 +72,56 @@ class StreamingSpec extends SparkTestBase {
     assert(Snapshot.load(dir).get.numDocs == 70)
     assert(Snapshot.load(dir).get.baseVersions.nonEmpty)
   }
+
+  test("streaming near-dup sweep telescopes to the full batch run") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.col
+    val state = tmpDir("graft-neardup-state")
+    val ckpt = tmpDir("graft-neardup-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val source = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.nearDupSweep(source, "text", "doc_id", state,
+      ckpt, shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
+    // the OpsSpec near-dup fixture split across three micro-batches: the
+    // (0,1),(0,2),(1,2) component lands across batches 0/1 and the (3,5)
+    // pair across batches 1/2 — every pair must be found by the batch
+    // that completes it, exactly once
+    val all = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "import spark sql functions and window aggregate"),
+      (4L, "completely different content about posting lists"),
+      (5L, "import spark sql functions and window aggregate extras"))
+    stream.addData(all.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(all.slice(2, 4): _*)
+    q.processAllAvailable()
+    stream.addData(all.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    def pairsOnDisk(): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(s"$state/pairs")
+        .select("idA", "idB", "inter", "uni")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val got = pairsOnDisk()
+    val full = Dedup.minHashLsh(all.toDF("doc_id", "text"), "text",
+      "doc_id", shingleSize = 2, numHashes = 64, bands = 32,
+      minJaccard = 0.5)
+      .select("idA", "idB", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full.size >= 4, s"fixture should have >=4 near-dup pairs: $full")
+    assert(got.toSet == full, s"stream=${got.sorted} full=${full.toSeq.sorted}")
+    assert(got.length == full.size, "every pair exactly once across batches")
+    // crash-replay idempotency: re-running the LAST batch with the same
+    // batchId must overwrite its own partition, not double-land or
+    // self-pair — state on disk is unchanged
+    StreamingDedup.sweepBatch(all.drop(4).toDF("doc_id", "text"), 2L,
+      "text", "doc_id", state, 2, 64, 32, 0.5, 42L, 64)
+    assert(pairsOnDisk().toSet == full)
+    assert(spark.read.parquet(s"$state/corpus").count() == all.length)
+    assert(spark.read.parquet(s"$state/corpus")
+      .filter(col("_batch") === 2L).count() == 2)
+  }
 }
