@@ -488,6 +488,19 @@ object SparkEntry {
           minCosine = 0.3, maxBucketSize = 256)
         .orderBy("idA", "idB")
     }),
+    "q_curation" -> ((s, d) => {
+      // the one-call curation pipeline (exact dedup -> near-dup removal ->
+      // quality gate -> language gate -> split), every stage replayed in
+      // the composed DuckDB oracle. LSH params match q_minhash_pairs.
+      import graft.ops.Curation
+      Curation.curate(table(s, d, "documents"), "text", "doc_id",
+          Curation.Config(shingleSize = 2, numHashes = 64, bands = 16,
+            minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+            minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+            fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .select("doc_id", "lang_pred", "split")
+        .orderBy("doc_id")
+    }),
     "q_langid" -> ((s, d) => {
       TextAnalysis.langId(table(s, d, "documents"), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
@@ -651,7 +664,15 @@ object SparkEntry {
     * native on UBIGINT.
     */
   private def splitOracle(seed: String,
-      fractions: Seq[(String, Double)]): String = {
+      fractions: Seq[(String, Double)]): String =
+    splitSelect(seed, fractions, "documents") + "\nORDER BY doc_id"
+
+  /** The split SELECT (doc_id, split) over `src`, a table or prior CTE
+    * with a doc_id column — shared by the q_split oracle and the
+    * q_curation composition.
+    */
+  private def splitSelect(seed: String, fractions: Seq[(String, Double)],
+      src: String): String = {
     import graft.ops.Sampling
     val cuts = fractions.init
       .scanLeft(("", 0.0)) { case ((_, acc), (name, f)) => (name, acc + f) }
@@ -665,8 +686,7 @@ object SparkEntry {
        |    ELSE '${fractions.last._1}' END AS split
        |FROM (SELECT doc_id,
        |  md5_number_lower('${seed}|' || CAST(doc_id AS VARCHAR)) AS h
-       |  FROM documents)
-       |ORDER BY doc_id""".stripMargin
+       |  FROM $src)""".stripMargin
   }
 
   /** DuckDB SQL replaying q_minhash_pairs end-to-end: same tokenization,
@@ -677,7 +697,20 @@ object SparkEntry {
     */
   private def minhashOracle(shingleSize: Int, numHashes: Int, bands: Int,
       minJaccard: Double, seed: Long, maxBucketSize: Int, limit: Int,
-      touch: String = ""): String = {
+      touch: String = ""): String =
+    s"""WITH ${minhashCtes("documents", shingleSize, numHashes, bands, seed, maxBucketSize)}
+       |SELECT idA, idB, inter, uni FROM verified
+       |WHERE inter::DOUBLE / uni >= $minJaccard${touchSql(touch)}
+       |ORDER BY inter::DOUBLE / uni DESC, idA, idB
+       |LIMIT $limit""".stripMargin
+
+  /** The minhash WITH-body (toks → sh → sig → bandrows → capped → cand →
+    * verified) over `src`, a table or prior CTE with (doc_id, text) —
+    * shared by the q_minhash_pairs / q_minhash_incr oracles and the
+    * q_curation composition: one definition, they must never drift.
+    */
+  private def minhashCtes(src: String, shingleSize: Int, numHashes: Int,
+      bands: Int, seed: Long, maxBucketSize: Int): String = {
     import graft.functions.CrossHash
     val consts = CrossHash.deriveConstants(numHashes, seed)
     val r = numHashes / bands
@@ -692,9 +725,9 @@ object SparkEntry {
     }.mkString("\n  UNION ALL ")
     val keyEq = (0 until r).map(j => s"a.k$j = b.k$j").mkString(" AND ")
     val keyCols = (0 until r).map(j => s"k$j").mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+${shingleSize - 1}], ' ')
        |    for i in range(1, len(tk) - ${shingleSize - 2})]) AS s
@@ -720,11 +753,7 @@ object SparkEntry {
        |  SELECT idA, idB,
        |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
        |    CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS uni
-       |  FROM cand JOIN sh sa ON sa.doc_id = idA JOIN sh sb ON sb.doc_id = idB)
-       |SELECT idA, idB, inter, uni FROM verified
-       |WHERE inter::DOUBLE / uni >= $minJaccard${touchSql(touch)}
-       |ORDER BY inter::DOUBLE / uni DESC, idA, idB
-       |LIMIT $limit""".stripMargin
+       |  FROM cand JOIN sh sa ON sa.doc_id = idA JOIN sh sb ON sb.doc_id = idB)""".stripMargin
   }
 
   /** Optional restriction appended to an oracle's final WHERE — the
@@ -853,18 +882,95 @@ object SparkEntry {
        |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DuckDB SQL replaying q_curation END-TO-END — the one-call pipeline
+    * composed from the already-validated per-stage replays: exact dedup
+    * (min-id per md5) → the minhash CTE chain over the survivors →
+    * connected components as a recursive CTE → anti-join losers → quality
+    * gate (mirrors TextAnalysis.qualityScore's exact double-op order:
+    * left-associated sum, int::DOUBLE/int divisions, the same \\p{Punct}
+    * ASCII class as RE2 [[:punct:]]) → language gate (langPredCtes) →
+    * deterministic hash split (splitSelect). Token counts match Spark's
+    * split(text, "\\s+") because the corpora carry no leading/trailing/
+    * repeated whitespace (validated at every test sf).
+    */
+  private def curationOracle(shingleSize: Int, numHashes: Int, bands: Int,
+      minJaccard: Double, seed: Long, maxBucketSize: Int,
+      minQuality: Double, keepLangs: Seq[String], splitSeed: String,
+      fractions: Seq[(String, Double)]): String = {
+    val stopList = graft.ops.TextAnalysis.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    val langsIn = keepLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH RECURSIVE canon AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |ek AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)),
+       |${minhashCtes("ek", shingleSize, numHashes, bands, seed, maxBucketSize)},
+       |dpairs AS (
+       |  SELECT idA, idB FROM verified
+       |  WHERE inter::DOUBLE / uni >= $minJaccard),
+       |edges AS (
+       |  SELECT idA AS s, idB AS d FROM dpairs
+       |  UNION
+       |  SELECT idB AS s, idA AS d FROM dpairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+       |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY 1),
+       |surv AS (
+       |  SELECT e.doc_id, e.text FROM ek e LEFT JOIN lab ON lab.id = e.doc_id
+       |  WHERE lab.id IS NULL OR lab.label = e.doc_id),
+       |qtk AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t,
+       |    length(text) AS nc,
+       |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np
+       |  FROM surv),
+       |qual AS (
+       |  SELECT doc_id,
+       |    round((CASE WHEN len(t) BETWEEN 10 AND 100000
+       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) *
+       |      (0.4 + 0.3 * (CASE WHEN len(t) > 0
+       |          THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END)
+       |       + 0.2 * least((CASE WHEN len(t) > 0
+       |          THEN len(list_filter(t, x -> x IN ($stopList)))::DOUBLE / len(t)
+       |          ELSE 0.0 END) * 5, 1.0)
+       |       + 0.1 * (1.0 - least((CASE WHEN nc > 0
+       |          THEN np::DOUBLE / nc ELSE 0.0 END) * 5, 1.0))), 6) AS quality
+       |  FROM qtk),
+       |${langPredCtes("surv")},
+       |gated AS (
+       |  SELECT s.doc_id FROM surv s
+       |  JOIN qual q ON q.doc_id = s.doc_id
+       |  JOIN lpred l ON l.doc_id = s.doc_id
+       |  WHERE q.quality >= $minQuality AND l.lang_pred IN ($langsIn))
+       |SELECT g.doc_id, l.lang_pred, sp.split
+       |FROM gated g JOIN lpred l ON l.doc_id = g.doc_id
+       |JOIN (${splitSelect(splitSeed, fractions, "gated")}) sp
+       |  ON sp.doc_id = g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   /** DuckDB SQL replaying q_langid: per-profile contains-count, argmax with
     * ties to the lexicographically larger language (TextAnalysis.langId).
     */
-  private def langidOracle: String = {
+  private def langidOracle: String =
+    s"""WITH ${langPredCtes("documents")}
+       |SELECT lang_pred, COUNT(*) AS cnt FROM lpred
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-doc (doc_id, lang_pred) CTE body (lsc → lpred) replaying
+    * TextAnalysis.langId over `src`, a table or prior CTE with
+    * (doc_id, text) — shared by the q_langid oracle and the q_curation
+    * composition. Generated from TextAnalysis.langProfiles — ONE source of
+    * truth (an edit there regenerates the oracle; a hardcoded copy would
+    * silently desynchronize). The argmax CASE ladder iterates languages in
+    * DESCENDING order because ties go to the lexicographically larger
+    * language (the UDF's documented tie rule).
+    */
+  private def langPredCtes(src: String): String = {
     def score(lang: String, grams: Seq[String]): String =
       grams.map(g => s"contains(t, '${g.replace("'", "''")}')::INT")
         .mkString("(", " + ", s") AS s_$lang")
-    // generated from TextAnalysis.langProfiles — ONE source of truth (an
-    // edit there regenerates the oracle; a hardcoded copy would silently
-    // desynchronize). The argmax CASE ladder iterates languages in
-    // DESCENDING order because ties go to the lexicographically larger
-    // language (the UDF's documented tie rule).
     val profiles = graft.ops.TextAnalysis.langProfiles
     val langsDesc = profiles.keys.toSeq.sorted.reverse
     val scores = profiles.keys.toSeq.sorted.map(l => score(l, profiles(l)))
@@ -875,19 +981,17 @@ object SparkEntry {
       // simpler and equivalent to compare against all
       s"WHEN ${geAll.mkString(" AND ")} THEN '$l'"
     }.mkString("\n    ")
-    s"""WITH sc AS (
-       |  SELECT
+    s"""lsc AS (
+       |  SELECT doc_id,
        |    $scores,
        |    t IS NULL AS t_is_null
-       |  FROM (SELECT lower(text) AS t FROM documents)),
-       |pred AS (
-       |  SELECT CASE
+       |  FROM (SELECT doc_id, lower(text) AS t FROM $src)),
+       |lpred AS (
+       |  SELECT doc_id, CASE
        |    WHEN t_is_null THEN 'und'
        |    $ladder
        |    ELSE '${langsDesc.last}' END AS lang_pred
-       |  FROM sc)
-       |SELECT lang_pred, COUNT(*) AS cnt FROM pred
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |  FROM lsc)""".stripMargin
   }
 
   /** DuckDB SQL replaying q_lsh_ann end-to-end: the SRP hyperplanes are
@@ -1191,6 +1295,10 @@ object SparkEntry {
       touch = "idA % 4 = 3 OR idB % 4 = 3"),
     "q_split" -> splitOracle("graft",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "q_curation" -> curationOracle(shingleSize = 2, numHashes = 64,
+      bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+      minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+      fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2, k = 100000),
     "q_bm25_fuzzy_ws" -> bm25FuzzyWsOracle(BmFuzzyQuery, k1 = 1.2, k = 100000),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+  /** Exposed (not private): SparkEntry generates the DuckDB curation oracle
+    * from this same list — one source of truth, like langProfiles below.
+    */
+  val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
 
   def tokens(textCol: Column): Column = split(textCol, "\\s+")
 
