@@ -506,6 +506,16 @@ object SparkEntry {
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred")
     }),
+    "q_subwords" -> ((s, d) => {
+      // BPE-ish subword count: the oracle can't replay the lookaround
+      // split in RE2, so it counts PIECE STARTS instead — a position
+      // starts a piece iff it is alnum and (string start | prev non-alnum
+      // | uppercase | lower->digit | digit->lower); proven equivalent to
+      // the Java split on edge cases and the full corpus
+      TextAnalysis.subwordCount(table(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_subwords").cast("int").as("n_subwords"))
+        .orderBy("doc_id")
+    }),
     "q_fingerprint" -> ((s, d) => {
       // fingerprint equivalence classes must equal token-stream equivalence
       // classes — the property DuckDB can check without computing xxhash64
@@ -1256,6 +1266,19 @@ object SparkEntry {
         |FROM documents WHERE source = 'src2'
         |ORDER BY 1, 2""".stripMargin,
     "q_langid" -> langidOracle,
+    "q_subwords" ->
+      """SELECT doc_id, CAST(len(list_filter(range(1, length(text) + 1), i ->
+        |    (ascii(text[i]) BETWEEN 65 AND 90 OR ascii(text[i]) BETWEEN 97 AND 122
+        |      OR ascii(text[i]) BETWEEN 48 AND 57)
+        |    AND (i = 1
+        |      OR NOT (ascii(text[i-1]) BETWEEN 65 AND 90
+        |        OR ascii(text[i-1]) BETWEEN 97 AND 122
+        |        OR ascii(text[i-1]) BETWEEN 48 AND 57)
+        |      OR ascii(text[i]) BETWEEN 65 AND 90
+        |      OR (ascii(text[i-1]) BETWEEN 97 AND 122 AND ascii(text[i]) BETWEEN 48 AND 57)
+        |      OR (ascii(text[i-1]) BETWEEN 48 AND 57 AND ascii(text[i]) BETWEEN 97 AND 122)))) AS INT)
+        |  AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       // fingerprint is xxhash64-chained (not DuckDB-computable); the checked
       // property is its contract: equivalence classes == token streams
