@@ -558,6 +558,36 @@ class OpsSpec extends SparkTestBase {
     assert(sw == 8) // camel|Case|Word|x|2|go|foo|bar
   }
 
+  test("subword count equals the piece-start counting rule (oracle logic)") {
+    // the q_subwords DuckDB oracle cannot replay the lookaround split in
+    // RE2, so it counts PIECE STARTS: a position starts a piece iff it is
+    // alnum and (string start | prev non-alnum | uppercase | lower->digit
+    // | digit->lower). Pin that equivalence in-repo, property-style, so
+    // the oracle's logic can never silently drift from the split.
+    def countRule(s: String): Int = {
+      def up(c: Char) = c >= 'A' && c <= 'Z'
+      def lo(c: Char) = c >= 'a' && c <= 'z'
+      def dg(c: Char) = c >= '0' && c <= '9'
+      def al(c: Char) = up(c) || lo(c) || dg(c)
+      s.indices.count { i =>
+        al(s(i)) && (i == 0 || !al(s(i - 1)) || up(s(i)) ||
+          (lo(s(i - 1)) && dg(s(i))) || (dg(s(i - 1)) && lo(s(i))))
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val alphabet = "aB1 _-.zQ9é"
+    val cases = Seq("", "FooBar baz", "ABC", "foo2bar", "A1a", "a  B",
+      "getHTTPResponse2xx OK", "snake_case_name", "a1B2c3", "   ") ++
+      (1 to 300).map(_ => (1 to rnd.nextInt(30))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.subwordCount(df, "text")
+      .select("doc_id", "n_subwords").as[(Long, Int)].collect().toMap
+    for ((t, i) <- cases.zipWithIndex)
+      assert(got(i.toLong) == countRule(t), s"text='$t'")
+  }
+
   test("quality score in [0,1], penalizes junk") {
     val d = Seq((1L, "the index of the merge and the posting list is good " * 3),
       (2L, "x"), (3L, "!!! ??? ;;; ***")).toDF("doc_id", "text")
