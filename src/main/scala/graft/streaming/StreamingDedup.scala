@@ -80,34 +80,107 @@ object StreamingDedup {
       idCol: String, stateDir: String, shingleSize: Int, numHashes: Int,
       bands: Int, minJaccard: Double, seed: Long,
       maxBucketSize: Int): Unit = {
-    val spark = batch.sparkSession
-    val corpusDir = s"$stateDir/corpus"
-    val bandDir = s"$stateDir/bands"
-    val pairsDir = s"$stateDir/pairs"
     val b = batch.select(col(idCol), col(textCol))
-    def landed(dir: String, template: DataFrame): DataFrame = {
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-        // exclude the current batchId: a crash-replayed batch must not be
-        // paired against its own half-landed remains (partition-pruned)
-        spark.read.parquet(dir).filter(col("_batch") =!= batchId)
-          .drop("_batch")
-      else template.limit(0)
-    }
-    val corpus = landed(corpusDir, b)
-    val store = landed(bandDir, Dedup.minHashBandRows(b.limit(0), textCol,
-      idCol, shingleSize, numHashes, bands, seed))
+    val corpus = landed(b, s"$stateDir/corpus", b, batchId)
+    val store = landed(b, s"$stateDir/bands",
+      Dedup.minHashBandRows(b.limit(0), textCol, idCol, shingleSize,
+        numHashes, bands, seed), batchId)
     val pairs = Dedup.minHashLshIncremental(b, corpus, store, textCol,
       idCol, shingleSize, numHashes, bands, minJaccard, seed, maxBucketSize)
-    def write(df: DataFrame, dir: String): Unit =
-      df.withColumn("_batch", lit(batchId)).write
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch").mode("overwrite").parquet(dir)
     // pairs first (they read the PRE-batch state), then the state appends
-    write(pairs, pairsDir)
-    write(Dedup.minHashBandRows(b, textCol, idCol, shingleSize, numHashes,
-      bands, seed), bandDir)
-    write(b, corpusDir)
+    writeBatch(pairs, s"$stateDir/pairs", batchId)
+    writeBatch(Dedup.minHashBandRows(b, textCol, idCol, shingleSize,
+      numHashes, bands, seed), s"$stateDir/bands", batchId)
+    writeBatch(b, s"$stateDir/corpus", batchId)
   }
+
+  /** SimHash sibling of [[nearDupSweep]]: the persisted state is just the
+    * (id, simhash) table — one long per doc, the cheapest of the three
+    * stores — plus the pairs output. Same telescoping and crash-replay
+    * contracts.
+    */
+  def simHashSweep(docs: DataFrame, textCol: String, idCol: String,
+      stateDir: String, checkpointDir: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        simHashSweepBatch(batch, batchId, textCol, idCol, stateDir,
+          maxHamming, maxBucketSize)
+      }
+      .start()
+
+  /** One micro-batch of [[simHashSweep]]. Idempotent per batchId. */
+  def simHashSweepBatch(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, stateDir: String, maxHamming: Int,
+      maxBucketSize: Int): Unit = {
+    val b = batch.select(col(idCol), col(textCol))
+    def sims(df: DataFrame): DataFrame =
+      Dedup.simHash(df, textCol, idCol).select(col(idCol), col("simhash"))
+    val store = landed(b, s"$stateDir/simhash", sims(b.limit(0)), batchId)
+    val pairs = Dedup.simHashIncremental(b, store, textCol, idCol,
+      maxHamming, maxBucketSize)
+    writeBatch(pairs, s"$stateDir/pairs", batchId)
+    writeBatch(sims(b), s"$stateDir/simhash", batchId)
+  }
+
+  /** Embedding sibling of [[nearDupSweep]]: the persisted state is the
+    * (id, srp_bucket, vec) table [[graft.ops.Similarity.withSrpBucket]]
+    * produces — the SAME table `lshKnn` serves ANN from, maintained here
+    * incrementally as batches stream in. Same telescoping (vs
+    * `embeddingNearDupPairs(probeHamming = 1)`) and crash-replay
+    * contracts.
+    */
+  def embeddingSweep(docs: DataFrame, vecCol: String, idCol: String,
+      stateDir: String, checkpointDir: String, dim: Int, nBits: Int = 6,
+      seed: Long = 42L, minCosine: Double = 0.3,
+      maxBucketSize: Int = 256): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embeddingSweepBatch(batch, batchId, vecCol, idCol, stateDir, dim,
+          nBits, seed, minCosine, maxBucketSize)
+      }
+      .start()
+
+  /** One micro-batch of [[embeddingSweep]]. Idempotent per batchId. */
+  def embeddingSweepBatch(batch: DataFrame, batchId: Long, vecCol: String,
+      idCol: String, stateDir: String, dim: Int, nBits: Int, seed: Long,
+      minCosine: Double, maxBucketSize: Int): Unit = {
+    import graft.ops.Similarity
+    val b = batch.select(col(idCol), col(vecCol))
+    def bucketed(df: DataFrame): DataFrame =
+      Similarity.withSrpBucket(df, vecCol, dim, nBits, seed)
+        .select(col(idCol), col("srp_bucket"), col(vecCol))
+    val store = landed(b, s"$stateDir/buckets", bucketed(b.limit(0)),
+      batchId)
+    val pairs = Dedup.embeddingNearDupIncremental(b, store, vecCol, idCol,
+      dim, nBits, seed, minCosine, maxBucketSize)
+    writeBatch(pairs, s"$stateDir/pairs", batchId)
+    writeBatch(bucketed(b), s"$stateDir/buckets", batchId)
+  }
+
+  /** Landed state under `dir` excluding the current batchId's partition —
+    * a crash-replayed batch must not sweep against its own half-landed
+    * remains (partition-pruned); `template.limit(0)` supplies the schema
+    * before the first batch lands.
+    */
+  private def landed(session: DataFrame, dir: String, template: DataFrame,
+      batchId: Long): DataFrame = {
+    val spark = session.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.parquet(dir).filter(col("_batch") =!= batchId)
+        .drop("_batch")
+    else template.limit(0)
+  }
+
+  /** Write `df` as this batch's `_batch` partition of `dir`, dynamically
+    * overwriting only that partition — the idempotent-replay write.
+    */
+  private def writeBatch(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.withColumn("_batch", lit(batchId)).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch").mode("overwrite").parquet(dir)
 }

@@ -124,4 +124,72 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$state/corpus")
       .filter(col("_batch") === 2L).count() == 2)
   }
+
+  test("simhash streaming sweep telescopes to the full batch run") {
+    import graft.ops.Dedup
+    val state = tmpDir("graft-shsweep-state")
+    val ckpt = tmpDir("graft-shsweep-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val source = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.simHashSweep(source, "text", "doc_id", state,
+      ckpt, maxHamming = 3)
+    // the OpsSpec simhash fixture across two micro-batches: the (0,1)
+    // exact dup lands inside batch 0; batch 1 brings 4 (dup of 0/1) and
+    // must pair it against the landed store without re-deriving (0,1)
+    val all = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "wholly different text one two three"),
+      (3L, "alpha beta gamma delta zeta"),
+      (4L, "alpha beta gamma delta epsilon"),
+      (5L, "unrelated quick brown fox jumps"))
+    stream.addData(all.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(all.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$state/pairs")
+      .select("idA", "idB", "hamming").as[(Long, Long, Long)].collect()
+    val full = Dedup.simHashPairs(all.toDF("doc_id", "text"), "text",
+      "doc_id").as[(Long, Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    assert(got.toSet == full, s"stream=${got.sorted} full=${full.toSeq.sorted}")
+    assert(got.length == full.size, "every pair exactly once across batches")
+  }
+
+  test("embedding streaming sweep telescopes to the full batch run") {
+    import graft.ops.Dedup
+    val state = tmpDir("graft-emsweep-state")
+    val ckpt = tmpDir("graft-emsweep-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    val rnd = new scala.util.Random(41)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L, base.toSeq) +: (1L, base.map(_ * 1.0001f).toSeq) +:
+        (2L until 20L).map(i =>
+          (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val source = stream.toDF().toDF("vec_id", "embedding")
+    val q = StreamingDedup.embeddingSweep(source, "embedding", "vec_id",
+      state, ckpt, dim, nBits = 4, minCosine = 0.9)
+    // the planted near-dup (0,1) straddles batches 0 and 1 — it must be
+    // found by batch 1's sweep against the landed SRP-bucket store
+    stream.addData(vecs.take(1): _*)
+    q.processAllAvailable()
+    stream.addData(vecs.slice(1, 10): _*)
+    q.processAllAvailable()
+    stream.addData(vecs.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$state/pairs")
+      .select("idA", "idB").as[(Long, Long)].collect()
+    val full = Dedup.embeddingNearDupPairs(vecs.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", dim, nBits = 4, minCosine = 0.9)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(full.contains((0L, 1L)))
+    assert(got.toSet == full, s"stream=${got.sorted} full=${full.toSeq.sorted}")
+    assert(got.length == full.size, "every pair exactly once across batches")
+  }
 }
