@@ -26,7 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Knobs for [[curate]]; defaults mirror the individual ops' defaults. */
+  /** Knobs for [[curate]]; defaults mirror the individual ops' defaults.
+    * `exactRecall = true` swaps the near-dup pair source from MinHash-LSH
+    * (fixed-size signatures, probabilistic recall) to the PPJoin-family
+    * exact n-gram Jaccard join (recall 1.0 by the prefix-filter theorem) —
+    * the same downstream components/anti-join tail either way; numHashes/
+    * bands/maxBucketSize are LSH-only knobs and are ignored in exact mode.
+    */
   final case class Config(
       shingleSize: Int = 3,
       numHashes: Int = 64,
@@ -38,16 +44,22 @@ object Curation {
       keepLangs: Seq[String] = Seq("en"),
       splitSeed: String = "graft",
       fractions: Seq[(String, Double)] =
-        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      exactRecall: Boolean = false)
 
   def curate(df: DataFrame, textCol: String, idCol: String,
       cfg: Config = Config()): DataFrame = {
     val canon = Dedup.exactCanonicalIds(df, textCol, idCol)
       .select(col("canonical_id").as(idCol))
     val exactKept = df.join(canon, Seq(idCol), "left_semi")
-    val survivors = Dedup.nearDupSurvivors(exactKept, textCol, idCol,
-      cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.minJaccard, cfg.seed,
-      cfg.maxBucketSize)
+    val survivors =
+      if (cfg.exactRecall)
+        Dedup.survivorsFromPairs(exactKept, idCol,
+          Dedup.ngramJaccardPairs(exactKept, textCol, idCol,
+            cfg.shingleSize, cfg.minJaccard))
+      else Dedup.nearDupSurvivors(exactKept, textCol, idCol,
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.minJaccard, cfg.seed,
+        cfg.maxBucketSize)
     val gated = TextAnalysis.langId(
         TextAnalysis.qualityScore(survivors, textCol), textCol)
       .filter(col("quality") >= cfg.minQuality &&

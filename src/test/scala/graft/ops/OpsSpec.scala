@@ -154,6 +154,13 @@ class OpsSpec extends SparkTestBase {
       .as[(Double, String, String)].collect().head
     assert(row._1 >= 0.5 && row._2 == "en" &&
       Set("train", "val", "test")(row._3))
+    // exact-recall mode: the PPJoin ngram join as the pair source — same
+    // victims dropped on this fixture (its near-dup is well above the
+    // Jaccard threshold), guaranteed recall instead of probabilistic
+    val exact = Curation.curate(corpus, "text", "doc_id",
+      Curation.Config(exactRecall = true))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(0L, 5L))
   }
 
   test("incremental exact dedup: first-wins across batches and in-batch") {
