@@ -298,17 +298,21 @@ object Dedup {
     * least/greatest on ids; cosine is evaluated on (va, vb) as joined —
     * bit-identical either way since every per-element product and the
     * final sqrt(na)*sqrt(nb) are commutative. `probeHamming = 0` is plain
-    * exact-bucket blocking. The width cap applies to HOME buckets before
-    * expansion. Every arithmetic step is an explicit-order double fold, so
-    * the DuckDB oracle replays the identical output set bit-identically
-    * (the oracle constrains bucket Hamming distance, not probe direction,
-    * so it is unchanged by this optimization).
+    * exact-bucket blocking; `probeHamming = 2` additionally probes every
+    * 2-bit XOR mask (C(nBits, 2) extra probes per row, upward-only as
+    * well) — a pair's buckets differ by exactly ONE mask, so every route
+    * stays unique and no dedup pass is needed at any probe depth. The
+    * width cap applies to HOME buckets before expansion. Every arithmetic
+    * step is an explicit-order double fold, so the DuckDB oracle replays
+    * the identical output set bit-identically (the oracle constrains
+    * bucket Hamming distance, not probe direction, so it is unchanged by
+    * this optimization).
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, nBits: Int = 6, seed: Long = 42L, minCosine: Double = 0.3,
       maxBucketSize: Int = 256, probeHamming: Int = 1): DataFrame = {
     import graft.ops.Similarity
-    require(probeHamming <= 1, "probe ring supports Hamming <= 1")
+    require(probeHamming <= 2, "probe ring supports Hamming <= 2")
     val bucketed = Similarity.withSrpBucket(df, vecCol, dim, nBits, seed)
       .select(col(idCol).as("_id"), col("srp_bucket"), col(vecCol).as("_v"))
     val wB = Window.partitionBy("srp_bucket")
@@ -342,9 +346,15 @@ object Dedup {
       .withColumn("cosine", cosU(col("va"), col("vb")))
       .select("idA", "idB", "cosine")
     val cand = if (probeHamming >= 1) {
-      // upward-only probing: flip only 0-bits, so probe > home and each
-      // Hamming-1 bucket pair is enumerated from its lower side exactly once
-      val flips = (0 until nBits).map(bb => col("home").bitwiseXOR(lit(1L << bb)))
+      // upward-only probing: each Hamming-d bucket pair differs by exactly
+      // one XOR mask, and the probe > home filter keeps only the flip
+      // emitted from the pair's LOWER bucket — enumerated exactly once
+      val masks: Seq[Long] = (0 until nBits).map(b => 1L << b) ++
+        (if (probeHamming >= 2)
+          for { i <- 0 until nBits; j <- i + 1 until nBits }
+            yield (1L << i) | (1L << j)
+        else Seq.empty)
+      val flips = masks.map(m => col("home").bitwiseXOR(lit(m)))
       val aProbe = capped
         .select(col("srp_bucket").as("home"), col("_id").as("idA"), col("_v").as("va"))
         .select(explode(array(flips: _*)).as("srp_bucket"), col("home"),

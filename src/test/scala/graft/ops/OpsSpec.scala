@@ -271,6 +271,46 @@ class OpsSpec extends SparkTestBase {
     assert(exact.subsetOf(probed))
   }
 
+  test("Hamming-2 probe ring equals brute-force bucket-Hamming<=2 blocking") {
+    // every bucket pair differs by exactly one XOR mask, so upward-only
+    // enumeration over weight-1 and weight-2 masks must yield EXACTLY the
+    // brute-force pair set at bucket Hamming <= 2 with no duplicates
+    val dim = 8
+    val nBits = 5
+    val seed = 7L
+    val model = Similarity.SrpModel(dim, nBits, seed)
+    val rnd = new scala.util.Random(29)
+    val rows = (0L until 120L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val minCos = 0.2
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0) dot / nn else 0.0
+    }
+    def brute(maxH: Int): Set[(Long, Long)] = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib &&
+        java.lang.Long.bitCount(model.bucketOf(va) ^ model.bucketOf(vb)) <= maxH &&
+        cosine(va, vb) >= minCos
+    } yield (ia, ib)).toSet
+    def ring(h: Int): Seq[(Long, Long)] =
+      Dedup.embeddingNearDupPairs(rows.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", dim, nBits = nBits, seed = seed,
+        minCosine = minCos, probeHamming = h)
+        .select("idA", "idB").as[(Long, Long)].collect().toSeq
+    val got2 = ring(2)
+    assert(got2.length == got2.toSet.size, "no duplicate pairs at any depth")
+    assert(got2.toSet == brute(2))
+    // strictly more recall than the 1-bit ring on this data
+    val got1 = ring(1).toSet
+    assert(got1.subsetOf(got2.toSet) && got1 != got2.toSet)
+  }
+
   test("upward-only probing equals brute-force bucket-Hamming<=1 blocking") {
     // the join enumerates Hamming-1 bucket pairs from the lower bucket
     // only; this must yield EXACTLY the pairs a brute-force scan over all
