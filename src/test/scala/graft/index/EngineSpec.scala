@@ -276,6 +276,37 @@ class EngineSpec extends SparkTestBase {
     assert(run(lru = false) == ((2L, 7L)), "FIFO should cycle the head term")
   }
 
+  test("shard cache is safe under concurrent queries (LRU bump + evict race)") {
+    import graft.query.IndexReader
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    // tight budget forces continuous eviction while hits re-rank — the
+    // exact interleaving the shardCacheOrder lock must survive; results
+    // must stay bit-identical to the driver-cached tier throughout
+    val cached = IndexReader.open(spark, indexDir)
+    val expected = querySet.map(q =>
+      q -> cached.searchHits(cached.resolve(q), 20).toSeq).toMap
+    val r = IndexReader.open(spark, indexDir,
+      IndexReader.ReaderConfig(0, 0, 64L << 10, shardCacheLru = true))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 8).map { t =>
+        Future {
+          (0 until 25).foreach { i =>
+            val q = querySet((t + i) % querySet.length)
+            val got = r.searchHits(r.resolve(q), 20).toSeq
+            assert(got == expected(q), s"thread $t query '$q' diverged")
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 5.minutes)
+    } finally pool.shutdown()
+    val (h, m) = r.shardCacheStats
+    assert(h + m > 0, "the coordinator path was actually exercised")
+  }
+
   test("fuzzy search matches oracle and finds misspellings") {
     for (q <- Seq("improt spark", "mrege posting", "snapshto")) {
       val rq = Searcher.resolve(spark, indexDir, q, fuzzy = true)
