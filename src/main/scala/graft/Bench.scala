@@ -94,6 +94,16 @@ object Bench {
   final case class Trial(sec: Double, load: Double,
       stages: Map[String, Double])
 
+  /** 1-min loadavg at trial start below which a trial counts as "quiet":
+    * ~20 of 32 hardware threads busy leaves 12 free — enough for the
+    * 8-thread point to run uncontended. min-of-trials only cancels
+    * contention when each point has at least one quiet trial, so the
+    * budget loop re-trials any point with zero quiet trials FIRST.
+    */
+  val QuietLoadMax = 20.0
+  private def hasQuiet(ts: collection.Seq[Trial]): Boolean =
+    ts.exists(_.load <= QuietLoadMax)
+
   // ---- mutable snapshot state: everything emitJson needs, updated as
   // ---- milestones complete; a timeout between emissions loses only the
   // ---- in-flight milestone
@@ -177,6 +187,14 @@ object Bench {
     * replaced by ok/err counts (full detail lives in the preceding
     * full-schema line and in PROGRESS evidence).
     */
+  /** Per-trial evidence as compact [sec, load_at_start] pairs — the driver
+    * keeps only the last ~2.3 KB of stdout, so this must stay terse while
+    * still letting a reader tell "engine regressed" from "host was busy"
+    * for EVERY trial, not just the min.
+    */
+  private def trialPairs(ts: Seq[Trial]): String =
+    ts.map(t => s"[${n(t.sec)},${n(t.load)}]").mkString("[", ",", "]")
+
   private def compactJson(partial: Boolean, total: Double): String = {
     val ib =
       if (t8s.isEmpty || t2s.isEmpty) "null"
@@ -189,7 +207,12 @@ object Bench {
           s""""n_sec":${n(best2.sec)},"fourn_sec":${n(best8.sec)},""" +
           s""""n_docs_per_sec":${n(thr2)},"fourn_docs_per_sec":${n(thr8)},""" +
           s""""scaling_efficiency":${n((thr8 / thr2) / 4.0)},""" +
-          s""""trials_n":${t2s.length},"trials_fourn":${t8s.length}}"""
+          s""""trials_n":${t2s.length},"trials_fourn":${t8s.length},""" +
+          s""""quiet_load_max":${n(QuietLoadMax)},""" +
+          s""""quiet_n":${t2s.count(_.load <= QuietLoadMax)},""" +
+          s""""quiet_fourn":${t8s.count(_.load <= QuietLoadMax)},""" +
+          s""""n_trials_sec_load":${trialPairs(t2s.toSeq)},""" +
+          s""""fourn_trials_sec_load":${trialPairs(t8s.toSeq)}}"""
       }
     val lat = latency match {
       case Some((p50, p95, qps)) =>
@@ -320,6 +343,28 @@ object Bench {
     }
     phasesDone += "contract"
     emitJson(partial = true)
+
+    // ---- targeted re-trials: quiet-starved points first ----
+    // min-of-trials cancels contention ONLY if each point has at least one
+    // trial that started in a quiet window (r04 driver stamp read 0.72 while
+    // nine builder runs at the same HEAD read 0.816-0.954 — the 8-core point
+    // never got a quiet start). Before spending budget on full extra pairs,
+    // re-trial just the quiet-starved point(s); a single-point re-trial
+    // costs ~1/3 of a pair when it's the 8-core point.
+    var retries = 0
+    while (retries < 2 * trialsPerPoint &&
+        (!hasQuiet(t8s) || !hasQuiet(t2s))) {
+      val target8 = !hasQuiet(t8s)
+      val est = (if (target8) t8s else t2s).map(_.sec).min * 1.3 + 100.0
+      if (elapsedSec + est >= budgetSec) retries = 2 * trialsPerPoint
+      else {
+        if (target8) t8s += buildTrial(8, "/tmp/graft_bench_idx8")
+        else t2s += buildTrial(2, "/tmp/graft_bench_idx2")
+        retries += 1
+        phasesDone += s"quiet_retrial_$retries"
+        emitJson(partial = true)
+      }
+    }
 
     // ---- extra scaling trials, budget-adaptive ----
     // interleaved (8,2) pairs: a load spike hits both points, not just one;
