@@ -533,24 +533,40 @@ object SparkEntry {
     // fuzzy twin of THE core op (P8): same engine path with ES-style
     // auto:4,7 expansion, replayed in SQL via damerau_levenshtein
     "q_bm25_fuzzy_ws" -> ((s, d) => wsBm25Contract(s, d, BmFuzzyQuery, fuzzy = true)),
-    // engine-native on the Porter-stemmed index (rows-only: stemming is not
-    // SQL-expressible; verified by in-repo WAND/exact parity)
-    "q_bm25_fuzzy" -> ((s, d) => bm25TopK(s, d, "sprak mrege qurey", 50, fuzzy = true)))
+    // engine-native on the Porter-stemmed index. Porter itself is not
+    // SQL-expressible, but the corpus vocabulary is tiny — so the query
+    // exports the (raw token -> analyzed term) map as a sidecar (the
+    // q_ivf_ann centroid-export playbook) and the oracle replays analysis
+    // as a literal lookup table, upgrading this from rows-only to a full
+    // hash-checked replay of expansion + BM25 + ranking.
+    "q_bm25_fuzzy" -> ((s, d) => stdBm25FuzzyContract(s, d)))
 
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
+  private val BmFuzzyStdQuery = "sprak mrege qurey"
 
   /** Shared body of the whitespace-index BM25 contract queries: real engine
-    * (WAND + resolveHits), k >= every possible match so the returned SET is
-    * tie-free by construction; ORDER is then re-keyed on (quantized score,
-    * doc_id) — deterministic in any engine, immune to the internal-docId
-    * tie-break inside WAND.
+    * (WAND + resolveHits), k > the corpus row count — derived, not assumed
+    * (a hardcoded k could silently fall below the match count on a larger
+    * corpus and break the tie-free-set argument) — so the returned SET is
+    * every match; ORDER is then re-keyed on (quantized score, doc_id) —
+    * deterministic in any engine, immune to the internal-docId tie-break
+    * inside WAND.
     */
   private def wsBm25Contract(s: SparkSession, d: String, query: String,
       fuzzy: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dir = wsIndexFor(s, d)
-    val hits = Searcher.search(s, dir, query, 100000, fuzzy)
+    val k = table(s, d, "documents").count().toInt + 1
+    val hits = Searcher.search(s, dir, query, k, fuzzy)
+    rankQuantized(s, dir, hits)
+  }
+
+  /** Quantize scores and re-rank (score_q DESC, doc_id) — the cross-engine
+    * deterministic tail shared by every BM25 contract query.
+    */
+  private def rankQuantized(s: SparkSession, dir: String,
+      hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     Searcher.resolveHits(s, dir, hits)
       .select(col("path").cast("long").as("doc_id"),
         round(col("score") * 1e6).cast("long").as("score_q"))
@@ -559,6 +575,37 @@ object SparkEntry {
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("score_q"), col("doc_id"))).cast("int"))
       .orderBy("rank")
+  }
+
+  /** Porter-index fuzzy contract (the standard-analyzer twin of
+    * q_bm25_fuzzy_ws): real engine path — standard analysis, auto:4,7
+    * expansion over the stemmed dictionary, WAND, resolve — with the
+    * corpus (raw whitespace token -> analyzed term) map exported as a
+    * sidecar for the DuckDB oracle. The export is sound only when the
+    * corpus alphabet makes whitespace splitting equal standard
+    * tokenization (pure lowercase alnum tokens, each analyzing to exactly
+    * one term); when that premise fails the sidecar is skipped and the
+    * driver falls back to the weaker rows-only check instead of recording
+    * a false mismatch. The distinct-token collect is vocabulary-bounded
+    * (this corpus: 31 terms) — contract-query plumbing, not an engine path.
+    */
+  private def stdBm25FuzzyContract(s: SparkSession, d: String): DataFrame = {
+    val dir = indexFor(s, d)
+    val toks = table(s, d, "documents")
+      .select(explode(wsTokens(col("text"))).as("tok")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val pure = toks.forall(t => t.matches("[a-z0-9]+") &&
+      graft.analyzer.Analyzer.analyze(t).length == 1)
+    val sidecar = java.nio.file.Paths.get(s"$dir/stem_map.txt")
+    if (pure) {
+      val lines = toks.map(t =>
+        s"$t,${graft.analyzer.Analyzer.analyze(t).head}")
+      java.nio.file.Files.write(sidecar,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else java.nio.file.Files.deleteIfExists(sidecar)
+    val k = table(s, d, "documents").count().toInt + 1
+    val hits = Searcher.search(s, dir, BmFuzzyStdQuery, k, fuzzy = true)
+    rankQuantized(s, dir, hits)
   }
 
   /** DuckDB SQL replaying q_bm25_topk end-to-end: whitespace tokens (the
@@ -571,7 +618,7 @@ object SparkEntry {
     * cross-engine arithmetic risk and sits ~1e9 above the quantization
     * step. Ordering re-keys on (score_q, doc_id) on BOTH sides.
     */
-  private def bm25WsOracle(query: String, k1: Double, k: Int): String = {
+  private def bm25WsOracle(query: String, k1: Double): String = {
     val terms = query.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
     val k1s = k1.toString
     val k1p1 = (k1 + 1.0).toString
@@ -606,7 +653,7 @@ object SparkEntry {
        |SELECT CAST(ROW_NUMBER() OVER (
        |    ORDER BY CAST(round(score * 1e6) AS BIGINT) DESC, doc_id) AS INT) AS rank,
        |  doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_q
-       |FROM scored ORDER BY rank LIMIT $k""".stripMargin
+       |FROM scored ORDER BY rank""".stripMargin
   }
 
   /** DuckDB SQL replaying q_bm25_fuzzy_ws end-to-end: ES-style auto:4,7
@@ -622,7 +669,7 @@ object SparkEntry {
     * transposed pair, which the first-char-fixed candidate set makes
     * contrived). Scores quantized and re-ranked exactly like q_bm25_topk.
     */
-  private def bm25FuzzyWsOracle(query: String, k1: Double, k: Int): String = {
+  private def bm25FuzzyWsOracle(query: String, k1: Double): String = {
     import graft.functions.EditDistance
     val k1s = k1.toString
     val k1p1 = (k1 + 1.0).toString
@@ -665,7 +712,68 @@ object SparkEntry {
        |SELECT CAST(ROW_NUMBER() OVER (
        |    ORDER BY CAST(round(score * 1e6) AS BIGINT) DESC, doc_id) AS INT) AS rank,
        |  doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_q
-       |FROM scored ORDER BY rank LIMIT $k""".stripMargin
+       |FROM scored ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB SQL replaying q_bm25_fuzzy end-to-end on the PORTER index from
+    * the exported (raw token -> analyzed term) sidecar: analysis replays as
+    * a literal lookup (whitespace split == standard tokenization on this
+    * corpus's pure-alnum alphabet — the query checks that premise before
+    * writing the sidecar), then tf/df over ANALYZED terms, the same
+    * auto:4,7 expansion window (first char fixed, length window, distance
+    * <= budget, cap 50 preferring smaller distance / higher df / term) over
+    * STEMMED query tokens vs the stemmed dictionary — exactly
+    * FuzzyExpand's contract — then b=0 BM25 with lexicographic-order folds,
+    * quantized and re-ranked like q_bm25_topk. Same OSA-vs-DL caveat as
+    * the ws twin (documented there; validated at all three sf scales).
+    */
+  private def bm25FuzzyStdOracle(stemMap: Seq[(String, String)],
+      queryStems: Seq[String], k1: Double): String = {
+    import graft.functions.EditDistance
+    val k1s = k1.toString
+    val k1p1 = (k1 + 1.0).toString
+    val smRows = stemMap.map { case (tok, term) =>
+      s"('${tok.replace("'", "''")}', '${term.replace("'", "''")}')"
+    }.mkString(", ")
+    val qRows = queryStems.distinct.map(q =>
+      s"('${q.replace("'", "''")}', ${EditDistance.autoFuzzyEdits(q.length)})")
+      .mkString(", ")
+    s"""WITH sm AS (SELECT * FROM (VALUES $smRows) s(tok, term)),
+       |tk AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |ts AS (SELECT tk.doc_id, sm.term FROM tk JOIN sm ON tk.tok = sm.tok),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ts GROUP BY 1, 2),
+       |dict AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT * FROM (VALUES $qRows) v(q, kq)),
+       |exp AS (
+       |  SELECT DISTINCT term, df FROM (
+       |    SELECT c.q, c.term, c.df,
+       |      ROW_NUMBER() OVER (PARTITION BY c.q
+       |        ORDER BY c.d, c.df DESC, c.term) AS rn
+       |    FROM (
+       |      SELECT qt.q, dt.term, dt.df,
+       |        damerau_levenshtein(qt.q, dt.term) AS d
+       |      FROM qt JOIN dict dt
+       |        ON substr(dt.term, 1, 1) = substr(qt.q, 1, 1)
+       |        AND abs(length(dt.term) - length(qt.q)) <= qt.kq
+       |        AND damerau_levenshtein(qt.q, dt.term) <= qt.kq) c) r
+       |  WHERE rn <= 50),
+       |st AS (SELECT COUNT(*) AS n FROM documents),
+       |contrib AS (
+       |  SELECT tf.doc_id, e.term,
+       |    ln(1.0 + (CAST(st.n - e.df AS DOUBLE) + 0.5) / (CAST(e.df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf.tf AS DOUBLE) * $k1p1) / (CAST(tf.tf AS DOUBLE) + $k1s)) AS c
+       |  FROM tf JOIN exp e ON tf.term = e.term CROSS JOIN st),
+       |scored AS (
+       |  SELECT doc_id,
+       |    list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS score
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT CAST(ROW_NUMBER() OVER (
+       |    ORDER BY CAST(round(score * 1e6) AS BIGINT) DESC, doc_id) AS INT) AS rank,
+       |  doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_q
+       |FROM scored ORDER BY rank""".stripMargin
   }
 
   /** DuckDB SQL replaying q_split: same "seed|key" md5-lower-64 row hash,
@@ -1162,7 +1270,23 @@ object SparkEntry {
           .split("\n").map(_.split(",").map(_.toFloat))
         Map("q_ivf_ann" -> ivfOracle(cents, dim = 64, nprobe = 3, k = 10))
       }
-    staticOracleSql ++ ivf
+    // q_bm25_fuzzy: the (token -> analyzed term) map the contract query
+    // exported from THIS sf dir's corpus; absent (premise failed or query
+    // skipped) -> entry omitted -> driver records rows-only, not a false
+    // mismatch
+    val stemSidecar = java.nio.file.Paths.get(
+      s"/tmp/graft_idx_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/stem_map.txt")
+    val fuzzyStd: Map[String, String] =
+      if (!java.nio.file.Files.exists(stemSidecar)) Map.empty
+      else {
+        val sm = new String(java.nio.file.Files.readAllBytes(stemSidecar),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+          .map { l => val i = l.indexOf(','); (l.substring(0, i), l.substring(i + 1)) }
+        val qStems = graft.analyzer.Analyzer.analyze(BmFuzzyStdQuery).toSeq
+        Map("q_bm25_fuzzy" -> bm25FuzzyStdOracle(sm, qStems, k1 = 1.2))
+      }
+    staticOracleSql ++ ivf ++ fuzzyStd
   }
 
   /** DuckDB oracles (driver contract). Tables are registered under their
@@ -1322,8 +1446,8 @@ object SparkEntry {
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
       minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
       fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
-    "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2, k = 100000),
-    "q_bm25_fuzzy_ws" -> bm25FuzzyWsOracle(BmFuzzyQuery, k1 = 1.2, k = 100000),
+    "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2),
+    "q_bm25_fuzzy_ws" -> bm25FuzzyWsOracle(BmFuzzyQuery, k1 = 1.2),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),
     "q_embed_neardup" -> embedNearDupOracle(dim = 64, nBits = 6, seed = 42L,
       minCosine = 0.3, maxBucketSize = 256, probeHamming = 1),
