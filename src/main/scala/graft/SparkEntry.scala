@@ -339,19 +339,13 @@ object SparkEntry {
       val storeDir = s"/tmp/graft_store_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       if (!graft.index.Snapshot.load(storeDir)
           .exists(_.formatVersion == graft.index.Snapshot.CurrentFormatVersion)) {
-        val dict = Seq(
-          ("dbop", "Spark", Seq("spark", "sprk"), "en"),
-          ("dbop", "Merge", Seq("merge", "mrege"), "en"),
-          ("dbop", "Window", Seq("window"), "en"),
-          ("dbop", "Filter", Seq("filter"), "en"),
-          ("size", "Big", Seq("big", "huge"), "en"),
-          ("size", "Small", Seq("small", "tiny"), "en")
-        ).toDF("entity_data", "value", "variants", "language_script")
+        val dict = DetectDict.map { case (e, v, vs) => (e, v, vs, "en") }
+          .toDF("entity_data", "value", "variants", "language_script")
         EntityStore.commitDictionary(s, storeDir, dict)
       }
       LocalDetector.detect(s, storeDir,
           table(s, d, "documents").select("doc_id", "text"),
-          Seq("dbop", "size"))
+          DetectDict.map(_._1).distinct)
         .groupBy("entity", "value").agg(count(lit(1)).as("cnt"))
         .orderBy("entity", "value")
     }),
@@ -544,6 +538,17 @@ object SparkEntry {
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
   private val BmFuzzyStdQuery = "sprak mrege qurey"
+
+  /** The q_entity_detect dictionary — one definition shared by the contract
+    * query and its oracle generator so the two can never drift.
+    */
+  private val DetectDict: Seq[(String, String, Seq[String])] = Seq(
+    ("dbop", "Spark", Seq("spark", "sprk")),
+    ("dbop", "Merge", Seq("merge", "mrege")),
+    ("dbop", "Window", Seq("window")),
+    ("dbop", "Filter", Seq("filter")),
+    ("size", "Big", Seq("big", "huge")),
+    ("size", "Small", Seq("small", "tiny")))
 
   /** Shared body of the whitespace-index BM25 contract queries: real engine
     * (WAND + resolveHits), k > the corpus row count — derived, not assumed
@@ -1252,6 +1257,96 @@ object SparkEntry {
        |FROM scored ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** DuckDB SQL replaying q_entity_detect (R1 coverage + R3 greedy spans +
+    * aggregation) as a collapsed form that is provably order-independent
+    * for THIS dictionary × vocabulary, derived at generation time from the
+    * exported token->term sidecar using the same spec-pinned kernels the
+    * engine runs (Analyzer / FuzzyExpand window / Alignment budgets — the
+    * q_ivf_ann trust model: engine-derived literals, SQL-replayed
+    * corpus-dependent part, with the kernels themselves pinned by
+    * EngineSpec + the independent NaiveDetectOracle).
+    *
+    * Derivation, per single-token variant v of (entity, value):
+    *  - trigger set T(v) = vocabulary words whose ANALYZED stem reaches v's
+    *    stem through FuzzyExpand's window (first char fixed, length window,
+    *    OSA <= auto:4,7 budget of the message stem; exact lookup when the
+    *    budget is 0) — R1's "all variant terms matched";
+    *  - alignment set A(v) = vocabulary words the raw variant token aligns
+    *    to (equality, or length > minTokenSize and substitution-cost-1
+    *    Levenshtein <= the text token's budget) — entitySubstring's match.
+    *  - a detection for v in a doc exists iff some T(v) word AND some A(v)
+    *    word are present; consume() removes the aligned token VALUE
+    *    entirely, so with |A(v)| <= 1 the outcome depends only on the
+    *    doc's token SET, and variants sharing (entity, value, aligned
+    *    token) collapse to one count — greedy order becomes irrelevant.
+    *
+    * Guards (any failure returns None -> the driver's rows-only fallback,
+    * never a false mismatch): single-token variants analyzing to one term;
+    * dictionary below the 50-term expansion cap and 1000-hit size cap;
+    * |A(v)| <= 1; within an entity no aligned token shared across values
+    * and no duplicate variant token (R2 last-wins would otherwise bite);
+    * no variant token equal to an entity name (consumption tags re-enter
+    * the token stream as bare names).
+    */
+  private def entityDetectOracle(
+      vocabStems: Seq[(String, String)]): Option[String] = {
+    import graft.analyzer.{Analyzer, Tokenizer}
+    import graft.functions.EditDistance
+    val variants = DetectDict.flatMap { case (e, v, vs) => vs.map((e, v, _)) }
+    val entityNames = DetectDict.map(_._1).toSet
+    if (variants.size > 50) return None
+    if (variants.exists { case (_, _, x) =>
+        Tokenizer.tokenizeTerms(x).length != 1 ||
+          Analyzer.analyze(x).length != 1 || entityNames.contains(x) })
+      return None
+    if (DetectDict.groupBy(_._1).values.exists { rows =>
+        val toks = rows.flatMap(_._3); toks.distinct.size != toks.size })
+      return None
+    val derived = variants.map { case (e, value, x) =>
+      val vs = Analyzer.analyze(x).head
+      val trig = vocabStems.collect {
+        case (w, ws) if {
+          val k = EditDistance.autoFuzzyEdits(ws.length)
+          if (k == 0) ws == vs
+          else ws.nonEmpty && vs.nonEmpty && ws.charAt(0) == vs.charAt(0) &&
+            math.abs(ws.length - vs.length) <= k &&
+            EditDistance.osa(ws, vs, k) <= k
+        } => w
+      }
+      val align = vocabStems.map(_._1).filter { u =>
+        val ft = EditDistance.autoFuzzyEdits(u.length)
+        u == x || (u.length > 4 &&
+          EditDistance.weighted(x, u, subCost = 1, maxDist = ft + 1) <= ft)
+      }
+      (e, value, align, trig)
+    }
+    if (derived.exists(_._3.length > 1)) return None
+    // within an entity, an aligned token must belong to exactly one value
+    val byEntityTok = derived.filter(_._3.nonEmpty)
+      .groupBy(d => (d._1, d._3.head))
+    if (byEntityTok.values.exists(_.map(_._2).distinct.size > 1)) return None
+    val rows = byEntityTok.toSeq.map { case ((e, atok), ds) =>
+      (e, ds.head._2, atok, ds.flatMap(_._4).distinct.sorted)
+    }.filter(_._4.nonEmpty).sortBy(r => (r._1, r._2, r._3))
+    if (rows.isEmpty) return None
+    val values = rows.map { case (e, v, atok, trig) =>
+      val tl = trig.map(t => s"'${t.replace("'", "''")}'").mkString("[", ", ", "]")
+      s"('$e', '${v.replace("'", "''")}', '$atok', $tl)"
+    }.mkString(",\n    ")
+    Some(s"""WITH dv AS (SELECT * FROM (VALUES
+       |    $values) t(entity, value, atok, trig)),
+       |d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |det AS (
+       |  SELECT dv.entity, dv.value, dv.atok, d.doc_id
+       |  FROM d JOIN dv
+       |    ON list_contains(d.t, dv.atok) AND list_has_any(d.t, dv.trig))
+       |SELECT entity, value, COUNT(*) AS cnt
+       |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   /** Oracles for a specific sf dir: the static map plus data-dependent
     * entries whose parameters are exported by the matching contract query
     * (q_ivf_ann's trained centroids). Verify calls this AFTER running the
@@ -1284,7 +1379,8 @@ object SparkEntry {
           .split("\n").toSeq.filter(_.nonEmpty)
           .map { l => val i = l.indexOf(','); (l.substring(0, i), l.substring(i + 1)) }
         val qStems = graft.analyzer.Analyzer.analyze(BmFuzzyStdQuery).toSeq
-        Map("q_bm25_fuzzy" -> bm25FuzzyStdOracle(sm, qStems, k1 = 1.2))
+        Map("q_bm25_fuzzy" -> bm25FuzzyStdOracle(sm, qStems, k1 = 1.2)) ++
+          entityDetectOracle(sm).map("q_entity_detect" -> _).toMap
       }
     staticOracleSql ++ ivf ++ fuzzyStd
   }
