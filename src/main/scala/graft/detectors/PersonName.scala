@@ -6,24 +6,23 @@ package graft.detectors
 final case class DetectedName(firstName: String, middleName: Option[String],
     lastName: Option[String], original: String)
 
-/** Person-name heuristic (F31) — the capitalization/position subset of the
-  * reference's NameDetector (ner_v1/detectors/textual/name/
-  * name_detection.py:58-145). NON-PARITY, documented: the reference runs an
-  * NLTK POS tagger to keep nouns/adjectives; this container has no tagger,
-  * so the heuristic keeps alphabetic non-stopword tokens instead. The parts
-  * that ARE parity:
+/** Person-name detector (F31) — the reference's NameDetector en path
+  * (ner_v1/detectors/textual/name/name_detection.py:58-145) over a real
+  * averaged-perceptron POS tagger (graft.nlp.PosTagger — the NLTK
+  * PerceptronTagger algorithm the reference loads via lib/nlp/pos.py,
+  * trained deterministically from the bundled corpus since NLTK's
+  * pretrained weights are not shippable offline):
+  *  - question guard — tags starting WR / WP / CD anywhere reject the
+  *    whole message (:126-131);
+  *  - free-text path keeps the NN* / JJ* tokens, fires only on messages
+  *    under 4 tokens when the previous bot message asked for a name
+  *    (:133-140, context_check_botmessage:370-390);
   *  - first/middle/last split (get_format_name:59-103);
-  *  - the question guard — interrogatives or cardinal numbers anywhere
-  *    reject the whole message (:126-131 WR/WP/CD check);
-  *  - the short-message rule — the free-text path only fires on messages
-  *    under 4 tokens and only when the previous bot message asked for a
-  *    name (:133, context_check_botmessage:370-390);
-  *  - 'my name is X' templates fire regardless of bot context.
+  *  - 'my name is X' templates fire regardless of bot context (a
+  *    documented extension beyond the reference's pos-only path; the
+  *    reference docstring names templates but ships none).
   */
 object PersonName {
-
-  private val questionWords = Set(
-    "what", "who", "when", "where", "why", "which", "whose", "whom", "how")
 
   private val stopwords = Set(
     "i", "am", "is", "the", "a", "an", "my", "me", "you", "your", "it's",
@@ -117,10 +116,21 @@ object PersonName {
     if (language == "hi") return detectHi(text, botMessage)
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     val tokens = text.split("\\s+").filter(_.nonEmpty).toSeq
+    if (tokens.isEmpty) return Seq.empty
+
+    // POS pass, once per message — the reference tags text.split()
+    // through the NLTK averaged perceptron (get_name_using_pos_tagger:
+    // 121-125); graft.nlp.PosTagger is the same algorithm trained on the
+    // bundled corpus.
+    val tagged = graft.nlp.PosTagger.en.tag(tokens)
 
     // question guard: interrogatives or cardinals anywhere → no name
-    if (tokens.exists(t => questionWords.contains(
-        t.toLowerCase(java.util.Locale.ROOT).replaceAll("\\p{Punct}+$", ""))) ||
+    // (name_detection.py:127-131 — tags starting WR / WP / CD). A belt-and-
+    // braces digit check backs the CD tag for digit-bearing tokens the
+    // normalizer does not canonicalize (e.g. '2pm' → leading digit IS
+    // canonicalized; 'b2b' is not).
+    if (tagged.exists { case (_, t) =>
+        t.startsWith("WR") || t.startsWith("WP") || t.startsWith("CD") } ||
       tokens.exists(_.exists(_.isDigit))) return Seq.empty
 
     // template path: 'my name is X Y' and friends
@@ -133,9 +143,11 @@ object PersonName {
       }
     }
 
-    // free-text path: short message + the bot asked for a name
+    // free-text path: short message + the bot asked for a name — keep the
+    // noun/adjective tokens (name_detection.py:133-140, startswith NN/JJ)
     if (botMessage.exists(nameContext) && tokens.length < 4) {
-      val nameToks = tokens.filter(nameLike)
+      val nameToks = tagged.collect { case (w, t)
+        if t.startsWith("NN") || t.startsWith("JJ") => w }
       if (nameToks.nonEmpty) return formatName(nameToks, text)
     }
     Seq.empty

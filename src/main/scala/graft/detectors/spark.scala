@@ -225,8 +225,9 @@ object functions {
     c => u(c)
   }
 
-  /** Person-name detection (F31; en = heuristic with documented POS
-    * non-parity, hi = the reference's POS-free indic path at full parity):
+  /** Person-name detection (F31; en = the reference's POS path over the
+    * bundled averaged-perceptron tagger, hi = the reference's POS-free
+    * indic path — both at parity):
     * output array<struct<first_name, middle_name, last_name, original>>.
     */
   def detect_person_names(botMessage: Option[String] = None,
