@@ -27,8 +27,10 @@ object SpanBoundary {
   // detected spans repeat heavily across a corpus ("50", "100", ...), and
   // pattern() is called once per DETECTION — a bounded cache turns the
   // per-match Pattern.compile into a hash lookup (Pattern is immutable and
-  // thread-safe; the cap bounds executor memory on adversarial vocabularies
-  // — a clear, not an LRU, because hits dominate so refill is cheap)
+  // thread-safe; the cap bounds executor memory on adversarial
+  // vocabularies). At the cap, ONE arbitrary entry is evicted — not a full
+  // clear, which recompiled every hot span at once and could transiently
+  // overshoot the cap under concurrency.
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
 
   def pattern(original: String): Pattern = {
@@ -37,7 +39,10 @@ object SpanBoundary {
     val p = Pattern.compile(
       "(?:^|(?<=[\\s\"',\\-?]))" + Pattern.quote(original) +
         "(?=[\\s!\"%',?.\\-]|$)")
-    if (cache.size() > 4096) cache.clear()
+    while (cache.size() >= 4096) {
+      val it = cache.keySet().iterator()
+      if (it.hasNext) cache.remove(it.next()) else cache.clear()
+    }
     cache.putIfAbsent(original, p)
     p
   }

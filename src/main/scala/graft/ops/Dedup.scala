@@ -19,6 +19,67 @@ import graft.functions.CrossHash
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
+  /** Rows/buckets a width cap silently skipped in the most recent call of a
+    * capped operator on this JVM — the no-silent-caps audit: the cap is a
+    * deliberate recall trade (pairs inside a dropped bucket are invisible),
+    * and at growing corpus size a FIXED key space crosses the cap
+    * everywhere at once, so the trade must be visible, not silent.
+    */
+  final case class CapDrops(droppedBuckets: Long, droppedRows: Long)
+
+  private val capDropsByOp =
+    scala.collection.concurrent.TrieMap.empty[String, CapDrops]
+
+  /** Cap-drop audit of the latest `op` call in this JVM (op = the method
+    * name, e.g. "minHashLsh"); None if the operator has not run yet.
+    * Diagnostics, last-call-wins per operator.
+    */
+  def lastCapDrops(op: String): Option[CapDrops] = capDropsByOp.get(op)
+
+  /** Bucket-width cap with the drop audit: computes per-bucket widths over
+    * `partCols`, materializes ONCE (the self-joins read these rows from two
+    * plan branches — a lazy frame would re-run the hashing UDF and the cap
+    * window per branch), counts what the cap drops in one cheap scan of the
+    * materialized blocks, records it under `op` (see [[lastCapDrops]]) and
+    * WARNs with auto-sizing `guidance`, then returns the surviving rows.
+    */
+  private def capBucketsAudited(rows: DataFrame, partCols: Seq[String],
+      cap: Int, op: String, guidance: String): DataFrame = {
+    val wB = Window.partitionBy(partCols.map(col): _*)
+    val withBsz = rows.withColumn("bsz", count(lit(1)).over(wB))
+      .localCheckpoint(true)
+    val d = withBsz.filter(col("bsz") > cap)
+      .agg(countDistinct(struct(partCols.map(col): _*)).as("b"),
+        count(lit(1)).as("r"))
+      .head()
+    val drops = CapDrops(d.getLong(0), d.getLong(1))
+    capDropsByOp.put(op, drops)
+    if (drops.droppedRows > 0)
+      log.warn(s"$op: maxBucketSize=$cap dropped ${drops.droppedBuckets} " +
+        s"bucket(s) / ${drops.droppedRows} row(s) before the self-join — " +
+        s"pairs inside them cannot surface from this key. $guidance")
+    withBsz.filter(col("bsz") <= cap).drop("bsz")
+  }
+
+  /** Integral-id guard for operators that cast the id column to long: a
+    * lossy cast (string UUIDs, decimals) would null out and silently DROP
+    * rows instead of failing — so fail fast here.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$op requires an integral id column (byte/short/int/long); " +
+      s"got ${dt.simpleString} for '$idCol' — casting would silently null " +
+      "non-numeric ids and drop their rows")
+  }
+
   /** Exact dedup by content hash: one shuffle keyed on the 16-byte hash.
     * Returns the input plus (content_hash, is_canonical). Annotating rows
     * in place inherently moves the full rows (text included) through the
@@ -96,7 +157,9 @@ object Dedup {
     *   band keys (signature slices) → bucket-width cap (buckets with more
     *   than `maxBucketSize` members are skipped — the standard large-scale
     *   guard: a degenerate bucket would otherwise explode the self-join
-    *   quadratically) → self-join within buckets → EXACT shingle Jaccard on
+    *   quadratically; skips are AUDITED — counted, WARN-logged with sizing
+    *   guidance, and readable via [[lastCapDrops]]("minHashLsh"), never
+    *   silent) → self-join within buckets → EXACT shingle Jaccard on
     *   the candidate pairs only → threshold filter.
     *
     * Returns (idA, idB, inter, uni, jaccard) with idA < idB and
@@ -112,16 +175,14 @@ object Dedup {
     val bandRows = minHashBandRows(df, textCol, idCol, shingleSize,
       numHashes, bands, seed)
 
-    // bucket-width cap, then materialize ONCE past it: the banded
-    // self-join reads capped rows from two plan branches — a lazy frame
-    // would re-run the signature UDF and the cap window per branch.
-    // localCheckpoint blocks are GC-reclaimed with the plan, unlike
-    // registered caches.
-    val wB = Window.partitionBy("band", "key")
-    val capped = bandRows.withColumn("bsz", count(lit(1)).over(wB))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-      .localCheckpoint(true)
+    // bucket-width cap + drop audit, materialized once past the window
+    // (localCheckpoint blocks are GC-reclaimed with the plan, unlike
+    // registered caches)
+    val capped = capBucketsAudited(bandRows, Seq("band", "key"),
+      maxBucketSize, "minHashLsh",
+      "Dense band keys = low-content docs or too-coarse bands; raise " +
+        "maxBucketSize, raise bands (narrower keys), or pre-filter " +
+        "near-empty docs.")
 
     val a = capped.select(col("band"), col("key"), col("_id").as("idA"))
     val b = capped.select(col("band"), col("key"), col("_id").as("idB"))
@@ -223,13 +284,12 @@ object Dedup {
     val all = bandStore.select(col("_id"), col("band"), col("key"))
       .withColumn("isNew", lit(false))
       .union(newRows.withColumn("isNew", lit(true)))
-    // one materialization past the cap window — both join branches (new
-    // side, all side) read it; see minHashLsh
-    val wB = Window.partitionBy("band", "key")
-    val capped = all.withColumn("bsz", count(lit(1)).over(wB))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-      .localCheckpoint(true)
+    // one audited materialization past the cap window — both join branches
+    // (new side, all side) read it; see minHashLsh
+    val capped = capBucketsAudited(all, Seq("band", "key"), maxBucketSize,
+      "minHashLshIncremental",
+      "The cap is evaluated on the UNION store — widths only grow across " +
+        "sweeps; raise maxBucketSize or bands before the store gets dense.")
     val a = capped.filter(col("isNew"))
       .select(col("band"), col("key"), col("_id").as("idN"))
     val b = capped.select(col("band"), col("key"), col("_id").as("idO"))
@@ -302,7 +362,12 @@ object Dedup {
     * 2-bit XOR mask (C(nBits, 2) extra probes per row, upward-only as
     * well) — a pair's buckets differ by exactly ONE mask, so every route
     * stays unique and no dedup pass is needed at any probe depth. The
-    * width cap applies to HOME buckets before expansion. Every arithmetic
+    * width cap applies to HOME buckets before expansion, and drops are
+    * audited (WARN + [[lastCapDrops]]("embeddingNearDupPairs")): the
+    * 2^nBits key space is fixed, so at growing corpus size n size
+    * `nBits >= log2(n / maxBucketSize)` to keep the expected bucket width
+    * n/2^nBits under the cap — the default nBits=6 is sized for test-scale
+    * corpora, NOT for 100-TB row counts. Every arithmetic
     * step is an explicit-order double fold, so the DuckDB oracle replays
     * the identical output set bit-identically (the oracle constrains
     * bucket Hamming distance, not probe direction, so it is unchanged by
@@ -315,14 +380,14 @@ object Dedup {
     require(probeHamming <= 2, "probe ring supports Hamming <= 2")
     val bucketed = Similarity.withSrpBucket(df, vecCol, dim, nBits, seed)
       .select(col(idCol).as("_id"), col("srp_bucket"), col(vecCol).as("_v"))
-    val wB = Window.partitionBy("srp_bucket")
-    // materialized once: the self-join would otherwise re-run the bucket
-    // UDF + cap window on BOTH branches (same trick as minHashLsh's
-    // candidate materialization)
-    val capped = bucketed.withColumn("bsz", count(lit(1)).over(wB))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-      .localCheckpoint(true)
+    // audited cap, materialized once: the self-join would otherwise re-run
+    // the bucket UDF + cap window on BOTH branches (same trick as
+    // minHashLsh's candidate materialization)
+    val capped = capBucketsAudited(bucketed, Seq("srp_bucket"),
+      maxBucketSize, "embeddingNearDupPairs",
+      "The 2^nBits key space is FIXED — expected bucket width is " +
+        "n/2^nBits, so grow nBits with the corpus: " +
+        "nBits >= log2(n / maxBucketSize).")
     val b = capped.select(col("srp_bucket"), col("_id").as("idB"), col("_v").as("vb"))
     // compiled UDF, not the aggregate/zip_with column expression: Spark
     // evaluates higher-order functions INTERPRETED per element, which
@@ -399,12 +464,13 @@ object Dedup {
       .select(col(idCol).as("_id"), col("srp_bucket"), col(vecCol).as("_v"),
         lit(false).as("isNew"))
       .union(newRows)
-    val wB = Window.partitionBy("srp_bucket")
-    // one materialization past the cap window — both join branches read it
-    val capped = all.withColumn("bsz", count(lit(1)).over(wB))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-      .localCheckpoint(true)
+    // one audited materialization past the cap window — both join branches
+    // read it
+    val capped = capBucketsAudited(all, Seq("srp_bucket"), maxBucketSize,
+      "embeddingNearDupIncremental",
+      "The cap applies to UNION home-bucket widths, which only grow as " +
+        "batches land; grow nBits with the corpus " +
+        "(nBits >= log2(n / maxBucketSize)) and rebuild the store.")
     val cosU = udf { (va: Seq[Float], vb: Seq[Float]) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -473,6 +539,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 2, minJaccard: Double = 0.8,
       maxPostingLen: Long = 0L): DataFrame = {
+    requireIntegralId(df, idCol, "ngramJaccardPairs")
     val n = shingleSize
     val shU = udf((s: String) => shinglesOf(s, n).distinct)
     // materialized once: exploded postings, prefix ranking, and both
@@ -598,6 +665,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
       maxIter: Int = 25): DataFrame = {
+    requireIntegralId(pairs, idACol, "connectedComponents")
+    requireIntegralId(pairs, idBCol, "connectedComponents")
     // materialize the pair list once BEFORE mirroring it: the union reads
     // `pairs` from two plan branches, and the caller's whole
     // pair-generation pipeline (blocking join + verify) would run twice
@@ -664,6 +733,7 @@ object Dedup {
     */
   def survivorsFromPairs(df: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
+    requireIntegralId(df, idCol, "survivorsFromPairs")
     val losers = connectedComponents(pairs, "idA", "idB")
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))
@@ -691,14 +761,15 @@ object Dedup {
           shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
       }: _*)).as("ck"))
       .select(col("_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-    val wB = Window.partitionBy("chunk", "key")
-    // materialized once: the self-join reads capped chunks from two plan
-    // branches — without this the simhash UDF + explode + cap window
-    // subtree runs twice (same fix as ngramJaccardPairs / minHashLsh)
-    val capped = chunked.withColumn("bsz", count(lit(1)).over(wB))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-      .localCheckpoint(true)
+    // audited cap, materialized once: the self-join reads capped chunks
+    // from two plan branches — without this the simhash UDF + explode +
+    // cap window subtree runs twice (same fix as ngramJaccardPairs /
+    // minHashLsh)
+    val capped = capBucketsAudited(chunked, Seq("chunk", "key"),
+      maxBucketSize, "simHashPairs",
+      "Dense chunk keys usually mean degenerate simhashes (near-empty " +
+        "docs all hash to 0); pre-filter them or raise maxBucketSize — " +
+        "a capped pair can still surface via its three other chunks.")
     val a = capped.select(col("chunk"), col("key"),
       col("_id").as("idA"), col("simhash").as("simA"))
     val b = capped.select(col("chunk"), col("key"),
@@ -736,12 +807,13 @@ object Dedup {
       }: _*)).as("ck"))
       .select(col("_id"), col("simhash"), col("isNew"),
         col("ck.chunk"), col("ck.key"))
-    // one materialization past the cap window — both join branches read it
-    val wB = Window.partitionBy("chunk", "key")
-    val capped = chunked.withColumn("bsz", count(lit(1)).over(wB))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-      .localCheckpoint(true)
+    // one audited materialization past the cap window — both join branches
+    // read it
+    val capped = capBucketsAudited(chunked, Seq("chunk", "key"),
+      maxBucketSize, "simHashIncremental",
+      "The cap is evaluated on union chunk-bucket widths, which only " +
+        "grow across sweeps; pre-filter degenerate docs or raise " +
+        "maxBucketSize before the store gets dense.")
     val a = capped.filter(col("isNew")).select(col("chunk"), col("key"),
       col("_id").as("idN"), col("simhash").as("simN"))
     val b = capped.select(col("chunk"), col("key"),

@@ -317,33 +317,48 @@ object MediaCodecs {
   def decodeAviInfo(bytes: Array[Byte]): Option[VideoInfo] =
     parseAvi(bytes).map(_._1)
 
-  /** Decode frame `idx` to a top-down RGB image. */
+  /** Parse once, decode many: header info + frame offsets for use with
+    * [[decodeAviFrameAt]] — a caller sampling k frames walks the container
+    * once instead of k+1 times (each [[decodeAviFrame]] call re-walks it).
+    */
+  def openAvi(bytes: Array[Byte]): Option[(VideoInfo, Seq[Int])] =
+    parseAvi(bytes)
+
+  /** Decode the frame at container offset `off` (from [[openAvi]]'s offset
+    * list) to a top-down RGB image.
+    */
+  def decodeAviFrameAt(bytes: Array[Byte], info: VideoInfo,
+      off: Int): Option[Image] = {
+    val size = le32(bytes, off + 4)
+    val rowSize = ((3 * info.width + 3) / 4) * 4
+    if (size < rowSize * info.height) None
+    else {
+      val rgb = new Array[Byte](info.width * info.height * 3)
+      var y = 0
+      while (y < info.height) {
+        val src = off + 8 + (info.height - 1 - y) * rowSize
+        var x = 0
+        while (x < info.width) {
+          val d = (y * info.width + x) * 3
+          rgb(d) = bytes(src + x * 3 + 2)     // R
+          rgb(d + 1) = bytes(src + x * 3 + 1) // G
+          rgb(d + 2) = bytes(src + x * 3)     // B
+          x += 1
+        }
+        y += 1
+      }
+      Some(Image(info.width, info.height, rgb))
+    }
+  }
+
+  /** Decode frame `idx` to a top-down RGB image (single-frame convenience;
+    * re-parses the container — use [[openAvi]] + [[decodeAviFrameAt]] when
+    * decoding more than one frame of a payload).
+    */
   def decodeAviFrame(bytes: Array[Byte], idx: Int): Option[Image] =
     parseAvi(bytes).flatMap { case (info, offs) =>
       if (idx < 0 || idx >= offs.length) None
-      else {
-        val off = offs(idx)
-        val size = le32(bytes, off + 4)
-        val rowSize = ((3 * info.width + 3) / 4) * 4
-        if (size < rowSize * info.height) None
-        else {
-          val rgb = new Array[Byte](info.width * info.height * 3)
-          var y = 0
-          while (y < info.height) {
-            val src = off + 8 + (info.height - 1 - y) * rowSize
-            var x = 0
-            while (x < info.width) {
-              val d = (y * info.width + x) * 3
-              rgb(d) = bytes(src + x * 3 + 2)     // R
-              rgb(d + 1) = bytes(src + x * 3 + 1) // G
-              rgb(d + 2) = bytes(src + x * 3)     // B
-              x += 1
-            }
-            y += 1
-          }
-          Some(Image(info.width, info.height, rgb))
-        }
-      }
+      else decodeAviFrameAt(bytes, info, offs(idx))
     }
 
   /** Encode top-down RGB frames (each width*height*3) as an uncompressed

@@ -100,14 +100,16 @@ object Multimodal {
     * that need an external library.
     */
   def videoFeatures(payload: Array[Byte]): Option[Array[Float]] =
-    MediaCodecs.decodeAviInfo(payload).map { info =>
+    MediaCodecs.openAvi(payload).map { case (info, offs) =>
+      // parse once (openAvi), decode sampled frames from the cached
+      // offsets — not one container re-walk per sampled frame
       val take = math.min(4, info.nFrames)
       val out = new Array[Float](64)
       var s = 0
       while (s < take) {
         // even sampling: frame index s * n / take (first frame always in)
-        val idx = s.toLong * info.nFrames / take
-        MediaCodecs.decodeAviFrame(payload, idx.toInt).foreach { img =>
+        val idx = (s.toLong * info.nFrames / take).toInt
+        MediaCodecs.decodeAviFrameAt(payload, info, offs(idx)).foreach { img =>
           val g = MediaCodecs.grayGrid(img, 4)
           System.arraycopy(g, 0, out, s * 16, math.min(16, g.length))
         }

@@ -408,10 +408,13 @@ object TextSurface {
     * bulk detection with ignore_message (and structured values) ignored,
     * per the reference's routing.
     */
-  def detectRequest(spark: SparkSession, storeDir: String,
-      messages: Seq[String], specs: Seq[(String, EntitySpec)],
-      language: String = "en", fuzzy: Boolean = true, lo: Int = 4,
-      hi: Int = 7, minTokenSize: Int = 4): Seq[RequestOutput] = {
+  /** R8 request validation alone (reference validate_text_request,
+    * utils.py:19-64) — callers building the HTTP-style envelope run THIS
+    * first and map only its failures to the 400 response, so an internal
+    * detection error can never masquerade as a client request error.
+    */
+  def validateRequest(messages: Seq[String],
+      specs: Seq[(String, EntitySpec)]): Unit = {
     require(messages.nonEmpty,
       "Key `messages` is required to be a non-empty List[str]")
     require(specs.nonEmpty,
@@ -420,6 +423,13 @@ object TextSurface {
       s"Length of key `messages` can be at most $MaxBulkMessages")
     require(specs.length <= MaxEntities,
       s"Length of key `entities` can be at most $MaxEntities")
+  }
+
+  def detectRequest(spark: SparkSession, storeDir: String,
+      messages: Seq[String], specs: Seq[(String, EntitySpec)],
+      language: String = "en", fuzzy: Boolean = true, lo: Int = 4,
+      hi: Int = 7, minTokenSize: Int = 4): Seq[RequestOutput] = {
+    validateRequest(messages, specs)
     if (messages.length == 1) {
       val (ignored, texted) = specs.partition(_._2.ignoreMessage)
       val out = fallbackOutputs(ignored, language) ++

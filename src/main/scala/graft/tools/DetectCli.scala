@@ -98,8 +98,17 @@ object DetectCli {
       case _ => Nil
     }
 
-    val response =
-      try {
+    // validate FIRST and map only validation failures to the 400 envelope
+    // (the reference's InvalidTextRequest, api.py:165-167); an internal
+    // detection error must surface as an error, not masquerade as a
+    // client request-validation failure
+    val invalid: Option[String] =
+      try { TextSurface.validateRequest(messages, specs); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    val response = invalid match {
+      case Some(msg) =>
+        JObject("success" -> JBool(false), "error" -> JString(msg))
+      case None =>
         val outs = TextSurface.detectRequest(spark, storeDir, messages,
           specs, language)
         JObject(
@@ -115,11 +124,7 @@ object DetectCli {
               }.toList),
               "language" -> JString(out.language))
           }.toList))
-      } catch {
-        case e: IllegalArgumentException =>
-          // the reference's 400 InvalidTextRequest envelope (api.py:165-167)
-          JObject("success" -> JBool(false), "error" -> JString(e.getMessage))
-      }
+    }
     JsonMethods.compact(JsonMethods.render(response))
   }
 

@@ -123,6 +123,52 @@ class OpsSpec extends SparkTestBase {
     assert(uncapped.count() == 30L * 29 / 2)
   }
 
+  test("width caps are audited, never silent: per-operator drop counts") {
+    // 30 identical docs, 8 bands: 8 width-30 band buckets = 240 rows; a
+    // cap of 8 drops all of them — lastCapDrops must say so exactly
+    val dups = (0L until 30L).map(i => (i, "same same same text here"))
+      .toDF("doc_id", "text")
+    Dedup.minHashLsh(dups, "text", "doc_id", shingleSize = 2,
+      numHashes = 16, bands = 8, minJaccard = 0.5, maxBucketSize = 8).count()
+    assert(Dedup.lastCapDrops("minHashLsh").contains(Dedup.CapDrops(8, 240)))
+    // a wide-enough cap reports ZERO drops (the audit resets per call)
+    Dedup.minHashLsh(dups, "text", "doc_id", shingleSize = 2,
+      numHashes = 16, bands = 8, minJaccard = 0.5, maxBucketSize = 64).count()
+    assert(Dedup.lastCapDrops("minHashLsh").contains(Dedup.CapDrops(0, 0)))
+    // simhash: one simhash, 4 width-30 chunk buckets = 120 rows
+    Dedup.simHashPairs(dups, "text", "doc_id", maxHamming = 3,
+      maxBucketSize = 8).count()
+    assert(Dedup.lastCapDrops("simHashPairs").contains(Dedup.CapDrops(4, 120)))
+    // embedding: a too-small nBits at larger n reports drops — the
+    // auto-size guidance case (40 identical vectors all share one home
+    // bucket; width 40 > cap 8)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", dim = 8,
+      nBits = 2, minCosine = -1.0, maxBucketSize = 8).count()
+    val ed = Dedup.lastCapDrops("embeddingNearDupPairs").get
+    assert(ed.droppedBuckets == 1 && ed.droppedRows == 40)
+  }
+
+  test("integral-id guard: lossy id casts fail fast, not silently") {
+    val sdocs = Seq(("a", "x y z w"), ("b", "x y z w")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(sdocs, "text", "doc_id")
+    }
+    val spairs = Seq(("a", "b")).toDF("idA", "idB")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(spairs, "idA", "idB")
+    }
+    val lpairs = Seq((0L, 1L)).toDF("idA", "idB")
+    intercept[IllegalArgumentException] {
+      Dedup.survivorsFromPairs(sdocs, "doc_id", lpairs)
+    }
+    // integer ids are fine (widening, not lossy)
+    val idocs = Seq((0, "x y z w"), (1, "x y z w")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(idocs, "text", "doc_id",
+      shingleSize = 2, minJaccard = 0.9).count() == 1)
+  }
+
   test("simhash: identical docs same hash, near-dups close, distinct far") {
     val sims = Dedup.simHash(docs, "text", "doc_id")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

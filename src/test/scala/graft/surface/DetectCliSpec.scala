@@ -101,4 +101,13 @@ class DetectCliSpec extends SparkTestBase {
     assert(out \ "success" == JBool(false))
     assert((out \ "error").isInstanceOf[JString])
   }
+
+  test("internal errors surface as errors, not a 400 envelope") {
+    // a VALID request against a broken store must throw, not masquerade
+    // as a client request-validation failure
+    intercept[Exception] {
+      DetectCli.run(spark, "/tmp/graft_no_such_store_xyz",
+        """{"messages": ["book to goa"], "entities": {"city": {}}}""")
+    }
+  }
 }
