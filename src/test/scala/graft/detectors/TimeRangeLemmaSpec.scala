@@ -106,6 +106,24 @@ class TimeRangeLemmaSpec extends AnyFunSuite {
       "scheduling" -> "schedule") // rules: "schedul"
     for ((in, want) <- cases)
       assert(Lemmatizer.lemma(in) == want, in)
+    // round-5 harvest: words FROM THE REFERENCE'S OWN TEST CORPORA
+    // (time/number YAMLs, person-name CSV, postman data) the suffix rules
+    // mangled — the left comment shows what the rules alone produced
+    val harvested = Seq(
+      "changed" -> "change", // rules: "chang" (restoreE can't reach -nge)
+      "coming" -> "come", // rules: "com"
+      "dining" -> "dine", // rules: "din"
+      "parsing" -> "parse", // rules: "pars"
+      "married" -> "marry", // rules: "marri" (-ied has no rule)
+      "verified" -> "verify", // rules: "verifi"
+      "dominoes" -> "domino", // rules: "dominoe"
+      // real WordNet nouns the rules would strip — identity-protected
+      "wedding" -> "wedding", // rules: "wed"
+      "dishwashing" -> "dishwashing", // rules: "dishwash"
+      "madras" -> "madras", // rules: "madra"
+      "james" -> "james") // rules: "jame"
+    for ((in, want) <- harvested)
+      assert(Lemmatizer.lemma(in) == want, in)
     // rules still serve the regular inflections (no table entry needed)
     assert(Lemmatizer.lemma("indexing") == "index")
     assert(Lemmatizer.lemma("tables") == "table")
