@@ -317,8 +317,8 @@ object IndexBuilder {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val planNorm = corpus.queryExecution.analyzed.toString
         .replaceAll("#\\d+", "")
-      val idText = cfg.toString + " " + corpus.schema.catalogString +
-        " " + corpus.inputFiles.sorted.mkString(",") + " " + planNorm
+      val idText = cfg.toString + "\u0000" + corpus.schema.catalogString +
+        "\u0000" + corpus.inputFiles.sorted.mkString(",") + "\u0000" + planNorm
       toHex(md.digest(idText.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }
     def stampPath(dir: String) = java.nio.file.Paths.get(dir, "_GRAFT_STAMP")

@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
 import graft.query.IndexReader
 
 /** Dev probe: warm query latency per serving tier over an existing index.
-  * Usage: runMain graft.tools.TierProbe <indexDir>
+  * Usage: runMain graft.tools.TierProbe <indexDir> [grid]
+  * `grid` additionally sweeps the cache-policy probe over a Zipf-exponent
+  * × budget-fraction grid instead of the single default cell.
   */
 object TierProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_bench_idx8")
+    val fullGrid = args.contains("grid")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -68,27 +71,42 @@ object TierProbe {
     sizer.prewarmShards(
       universe.flatMap(q => sizer.resolve(q).terms.map(_.term)))
     val totalBytes = sizer.shardCacheBytesUsed
-    val budget = math.max(1L, (totalBytes * 2) / 5)
-    val rnd = new scala.util.Random(7)
-    val weights = universe.indices.map(i => 1.0 / math.pow(i + 1, 1.1))
-    val cum = weights.scanLeft(0.0)(_ + _).tail
-    val draws = Seq.fill(500) {
-      val x = rnd.nextDouble() * cum.last
-      universe(cum.indexWhere(x <= _))
+    // the grid sweeps workload skew (Zipf exponent: flat -> peaky) and
+    // cache pressure (budget fraction of the resident bytes); the default
+    // single cell (1.1, 40%) is the regime the round-4 LRU decision was
+    // measured in. Each cell shares ONE deterministic draw sequence across
+    // both policies; the tiny budget offset per cell forces a fresh
+    // reader (readers are cached by exact config).
+    val cells: Seq[(Double, Int)] =
+      if (fullGrid) for {
+        zipf <- Seq(0.7, 1.1, 1.5); pct <- Seq(25, 40, 60)
+      } yield (zipf, pct)
+      else Seq((1.1, 40))
+    for (((zipf, pct), cell) <- cells.zipWithIndex) {
+      val budget = math.max(1L, totalBytes * pct / 100 + cell * 2)
+      val rnd = new scala.util.Random(7)
+      val weights = universe.indices.map(i => 1.0 / math.pow(i + 1, zipf))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val draws = Seq.fill(500) {
+        val x = rnd.nextDouble() * cum.last
+        universe(cum.indexWhere(x <= _))
+      }
+      def policy(label: String, lru: Boolean): Unit = {
+        val r = IndexReader.open(spark, dir,
+          IndexReader.ReaderConfig(0, 0, budget + (if (lru) 1 else 0),
+            shardCacheLru = lru))
+        val t0 = System.nanoTime()
+        draws.foreach(q => r.searchHits(r.resolve(q), 100))
+        val ms = (System.nanoTime() - t0) / 1e6
+        val (h, m) = r.shardCacheStats
+        println(f"[tier] policy $label zipf=$zipf%.1f budget=$pct%d%% " +
+          f"hit-rate=${h.toDouble / (h + m)}%.3f (${h}h/${m}m) " +
+          f"total=$ms%.0f ms (${budget / 1024}KB of " +
+          f"${totalBytes / 1024}KB resident)")
+      }
+      policy("fifo", lru = false)
+      policy("lru ", lru = true)
     }
-    def policy(label: String, lru: Boolean): Unit = {
-      val r = IndexReader.open(spark, dir,
-        IndexReader.ReaderConfig(0, 0, budget, shardCacheLru = lru))
-      val t0 = System.nanoTime()
-      draws.foreach(q => r.searchHits(r.resolve(q), 100))
-      val ms = (System.nanoTime() - t0) / 1e6
-      val (h, m) = r.shardCacheStats
-      println(f"[tier] policy $label hit-rate=${h.toDouble / (h + m)}%.3f " +
-        f"(${h}h/${m}m) total=$ms%.0f ms " +
-        f"budget=${budget / 1024}KB of ${totalBytes / 1024}KB resident")
-    }
-    policy("fifo", lru = false)
-    policy("lru ", lru = true)
     spark.stop()
   }
 }
