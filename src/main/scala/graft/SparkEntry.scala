@@ -510,6 +510,32 @@ object SparkEntry {
         .select(col("doc_id"), col("n_subwords").cast("int").as("n_subwords"))
         .orderBy("doc_id")
     }),
+    "q_dup_substrings" -> ((s, d) => {
+      // substring-level dedup (Lee et al. 2022 style): every 8-token window
+      // shared by >= 2 documents, exact counts; oracle groups by the
+      // window string (the engine's hash phase is collision-refiltered)
+      Dedup.duplicateSubstrings(table(s, d, "documents"), "text", "doc_id",
+          windowTokens = DupWindowTokens, minDocs = DupMinDocs)
+        .select(col("gram"), col("n_docs").cast("int").as("n_docs"),
+          col("n_occ").cast("int").as("n_occ"))
+        .orderBy("gram")
+    }),
+    "q_dup_coverage" -> ((s, d) => {
+      // per-doc contamination: token positions inside any cross-doc
+      // duplicated window — the score substring dedup trims/drops on
+      Dedup.duplicateSpanCoverage(table(s, d, "documents"), "text", "doc_id",
+          windowTokens = DupWindowTokens, minDocs = DupMinDocs)
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          col("n_dup_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q_repetition" -> ((s, d) => {
+      // within-doc Gopher repetition rules; dupN=3 is corpus-appropriate
+      // (this vocabulary repeats trigrams within docs, never 5-grams)
+      TextAnalysis.repetitionStats(table(s, d, "documents"), "text",
+          "doc_id", topN = RepTopN, dupN = RepDupN)
+        .orderBy("doc_id")
+    }),
     "q_fingerprint" -> ((s, d) => {
       // fingerprint equivalence classes must equal token-stream equivalence
       // classes — the property DuckDB can check without computing xxhash64
@@ -534,6 +560,14 @@ object SparkEntry {
     // as a literal lookup table, upgrading this from rows-only to a full
     // hash-checked replay of expansion + BM25 + ranking.
     "q_bm25_fuzzy" -> ((s, d) => stdBm25FuzzyContract(s, d)))
+
+  /** Substring-dedup / repetition contract constants — one definition for
+    * the Spark query and its DuckDB oracle generator, so they cannot drift.
+    */
+  private val DupWindowTokens = 8
+  private val DupMinDocs = 2
+  private val RepTopN = 2
+  private val RepDupN = 3
 
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
@@ -933,6 +967,83 @@ object SparkEntry {
        |ORDER BY inter::DOUBLE / uni DESC, idA, idB
        |LIMIT $limit""".stripMargin
   }
+
+  /** DuckDB SQL replaying q_dup_substrings end-to-end: the engine kernel's
+    * tokenization (\s+ split, drop empties), every L-token positional
+    * window, exact group by the window STRING. The engine's candidate-hash
+    * phase needs no replay — collisions are re-filtered by the exact
+    * regroup, so the hash is an internal accelerator, not a semantic.
+    */
+  private def dupSubstringsOracle(l: Int, minDocs: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, unnest([array_to_string(t[i:i+${l - 1}], ' ')
+       |    for i in generate_series(1, len(t) - ${l - 1})]) AS gram
+       |  FROM toks WHERE len(t) >= $l)
+       |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+       |  CAST(COUNT(*) AS INT) AS n_occ
+       |FROM wins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= $minDocs
+       |ORDER BY gram""".stripMargin
+
+  /** DuckDB SQL replaying q_dup_coverage: duplicated windows (same CTE
+    * logic as [[dupSubstringsOracle]]) exploded to the token positions
+    * they cover, distinct per (doc, position), counted per doc, and
+    * LEFT-joined back so uncontaminated documents report 0.
+    */
+  private def dupCoverageOracle(l: Int, minDocs: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i, array_to_string(t[i:i+${l - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${l - 1})) AS i
+       |        FROM toks WHERE len(t) >= $l) z),
+       |dup AS (
+       |  SELECT gram FROM wins GROUP BY gram
+       |  HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, w.i + o.p AS pos
+       |  FROM wins w JOIN dup USING (gram), generate_series(0, ${l - 1}) AS o(p)),
+       |percov AS (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       |  CAST(coalesce(p.n, 0) AS INT) AS n_dup_tokens
+       |FROM toks t LEFT JOIN percov p USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** DuckDB SQL replaying q_repetition (within-doc Gopher repetition
+    * rules): max topN-gram multiplicity per doc, and positions covered by
+    * within-doc duplicated dupN-grams — the within-doc twin of
+    * [[dupCoverageOracle]] (dup grouping adds doc_id). All integers.
+    */
+  private def repetitionOracle(topN: Int, dupN: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |tg AS (
+       |  SELECT doc_id, unnest([array_to_string(t[i:i+${topN - 1}], ' ')
+       |    for i in generate_series(1, len(t) - ${topN - 1})]) AS g
+       |  FROM toks WHERE len(t) >= $topN),
+       |topc AS (
+       |  SELECT doc_id, max(c) AS topc FROM (
+       |    SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g) z
+       |  GROUP BY doc_id),
+       |dg AS (
+       |  SELECT doc_id, i, array_to_string(t[i:i+${dupN - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${dupN - 1})) AS i
+       |        FROM toks WHERE len(t) >= $dupN) z),
+       |dup AS (
+       |  SELECT doc_id, g FROM dg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT f.doc_id, f.i + o.p AS pos
+       |  FROM dg f JOIN dup USING (doc_id, g), generate_series(0, ${dupN - 1}) AS o(p)),
+       |rep AS (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       |  CAST(coalesce(p.topc, 0) AS INT) AS top_gram_count,
+       |  CAST(coalesce(r.n, 0) AS INT) AS n_rep_tokens
+       |FROM toks t LEFT JOIN topc p USING (doc_id) LEFT JOIN rep r USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 
   /** Shared WITH-body replaying simHashPairs candidate generation (used by
     * the q_simhash_pairs oracle AND the q_dedup_clusters oracle — one
@@ -1538,6 +1649,9 @@ object SparkEntry {
       touch = "idA % 4 = 3 OR idB % 4 = 3"),
     "q_split" -> splitOracle("graft",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "q_dup_substrings" -> dupSubstringsOracle(DupWindowTokens, DupMinDocs),
+    "q_dup_coverage" -> dupCoverageOracle(DupWindowTokens, DupMinDocs),
+    "q_repetition" -> repetitionOracle(RepTopN, RepDupN),
     "q_curation" -> curationOracle(shingleSize = 2, numHashes = 64,
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
       minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",

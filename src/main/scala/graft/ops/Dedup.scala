@@ -599,6 +599,106 @@ object Dedup {
       .select("idA", "idB", "inter", "uni")
   }
 
+  // ---- Substring-level dedup (fixed token-window granularity) ------------
+
+  /** JVM kernel: every L-token window of the nonempty whitespace tokens
+    * with its 0-based starting token position — NOT deduped within the
+    * document (positions feed [[duplicateSpanCoverage]]). Tokenization is
+    * byte-identical to [[shinglesOf]] (split on \s+, drop empties), the
+    * contract the DuckDB string_split oracle replays.
+    */
+  private[ops] def tokenWindowsOf(text: String,
+      L: Int): Array[(Int, String)] = {
+    if (text == null) return Array.empty
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < L) Array.empty
+    else Array.tabulate(toks.length - L + 1)(i =>
+      (i, toks.slice(i, i + L).mkString(" ")))
+  }
+
+  /** Exploded positional windows `(doc_id, pos, gram, gh)`. Compiled UDF
+    * over the kernel (higher-order-function expressions evaluate
+    * interpreted per element — the [[shingles]] lesson). gh =
+    * xxhash64(gram) is engine-internal only: the oracle replays the gram
+    * STRING, so no cross-engine hash contract is needed here.
+    */
+  private def tokenWindowRows(df: DataFrame, textCol: String, idCol: String,
+      L: Int): DataFrame = {
+    val wU = udf((s: String) => tokenWindowsOf(s, L))
+    df.select(col(idCol).as("doc_id"), explode(wU(col(textCol))).as("w"))
+      .select(col("doc_id"), col("w._1").as("pos"), col("w._2").as("gram"))
+      .withColumn("gh", xxhash64(col("gram")))
+  }
+
+  /** Cross-document duplicate substrings: every L-token window whose text
+    * occurs in at least `minDocs` distinct documents, with document and
+    * occurrence counts — the fixed-window member of substring-level
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": their suffix-array pass finds
+    * variable-length matches; any duplicated run of length >= L shows up
+    * here as a run of duplicated windows, which is exactly what
+    * [[duplicateSpanCoverage]] consumes). Complements the document-level
+    * family ([[exact]] / [[minHashLsh]]): boilerplate shared by otherwise
+    * distinct documents is invisible to whole-document hashing.
+    *
+    * 100-TB shape: phase 1 shuffles only (64-bit hash, doc_id) pairs with
+    * map-side partial aggregation to find candidate hashes; the wide gram
+    * strings shuffle in phase 2 ONLY for windows whose hash survived (AQE
+    * broadcasts the surviving-hash side when small). The exact
+    * group-by-gram with the n_docs re-filter makes hash collisions
+    * harmless — output is exact, recall 1.0 at this window length. Any id
+    * type works (ids are only grouped, never cast).
+    */
+  def duplicateSubstrings(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val wins = tokenWindowRows(df, textCol, idCol, windowTokens)
+    val hot = wins.select("gh", "doc_id").groupBy("gh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs).select("gh")
+    wins.join(hot, "gh")
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram", "n_docs", "n_occ")
+  }
+
+  /** Per-document duplicate-substring coverage: how many of a document's
+    * token positions fall inside at least one cross-document duplicated
+    * L-token window ([[duplicateSubstrings]]) — the contamination score
+    * substring-level dedup acts on (drop or trim documents whose
+    * duplicated fraction is high). Output `(doc_id, n_tokens,
+    * n_dup_tokens)`; the fraction is left to the caller so every column
+    * stays integral (cross-engine-exact).
+    *
+    * Shape: the duplicated-gram set (small — only grams seen in >= minDocs
+    * documents) joins back to the positional windows by exact gram text
+    * (broadcast-suited); covered positions explode per SURVIVING window
+    * only, then one distinct + count per document. Windows are recomputed
+    * (two cheap UDF scans of the corpus) rather than materialized — at
+    * scale two scans beat persisting an L-times-the-corpus intermediate.
+    */
+  def duplicateSpanCoverage(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val wins = tokenWindowRows(df, textCol, idCol, windowTokens)
+    val dupGrams =
+      duplicateSubstrings(df, textCol, idCol, windowTokens, minDocs)
+        .select("gram")
+    val covered = wins.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"),
+          col("pos") + lit(windowTokens - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_dup_tokens"))
+    val toks = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    val nt = df.select(col(idCol).as("doc_id"),
+      size(toks).as("n_tokens"))
+    nt.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0)).as("n_dup_tokens"))
+  }
+
   /** JVM SimHash kernel: 64-bit, per-occurrence bit-majority vote over
     * nonempty whitespace tokens, token hash = md5-lower-64. ONE pass over
     * the tokens computing all 64 votes (round 1 shipped 64 aggregate()

@@ -96,6 +96,65 @@ object TextAnalysis {
       aggregate(t, lit(0L), (acc, tok) => xxhash64(acc, tok)))
   }
 
+  /** Within-document repetition statistics — the Gopher repetition-filter
+    * family (Rae et al. 2021, "Scaling Language Models: Methods, Analysis
+    * & Insights from Training Gopher", App. A1.1; also the C4 three-
+    * sentence-span rule): per document, the multiplicity of its most
+    * frequent `topN`-gram and the number of token positions covered by any
+    * `dupN`-gram occurring more than once in the SAME document. A high
+    * top-gram count or repeated-span coverage marks boilerplate/looping
+    * text. All outputs integral (cross-engine-exact); callers derive the
+    * fractions. Single-pass UDF per row, zero shuffles — the within-doc
+    * twin of the cross-doc [[Dedup.duplicateSpanCoverage]].
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+      topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"gram sizes must be >= 1: $topN, $dupN")
+    val (tN, dN) = (topN, dupN)
+    val u = udf((text: String) => repetitionOf(text, tN, dN))
+    df.select(col(idCol).as("doc_id"), u(col(textCol)).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_tokens"),
+        col("r._2").as("top_gram_count"), col("r._3").as("n_rep_tokens"))
+  }
+
+  /** JVM kernel of [[repetitionStats]] (one tokenization, two gram passes;
+    * compiled UDF beats a ~100-node HOF expression tree — the langId
+    * lesson). Returns (n_tokens, top `topN`-gram multiplicity, positions
+    * covered by within-doc duplicated `dupN`-grams).
+    */
+  private[ops] def repetitionOf(text: String, topN: Int,
+      dupN: Int): (Int, Int, Int) = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    def gramCounts(l: Int): scala.collection.mutable.HashMap[String, Int] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i + l <= n) {
+        val g = toks.slice(i, i + l).mkString(" ")
+        m.update(g, m.getOrElse(g, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    val top = if (n < topN) 0 else gramCounts(topN).valuesIterator.max
+    val cov = if (n < dupN) 0 else {
+      val m = gramCounts(dupN)
+      val covered = new Array[Boolean](n)
+      var i = 0
+      while (i + dupN <= n) {
+        if (m(toks.slice(i, i + dupN).mkString(" ")) >= 2) {
+          var j = i
+          while (j < i + dupN) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      covered.count(identity)
+    }
+    (n, top, cov)
+  }
+
   /** BPE-ish subword token count estimate: whitespace tokens plus an extra
     * count for each internal case/digit/punct boundary — the cheap proxy for
     * tokenizer-cost accounting in data pipelines (no model download).

@@ -510,6 +510,72 @@ class OpsSpec extends SparkTestBase {
     assert(surv == Set(0L, 3L, 4L))
   }
 
+  test("duplicate substrings: exact cross-doc L-gram counts") {
+    // L=8 on the fixture: docs 0/1/2 share the 8-token prefix window; only
+    // 0 and 2 (exact dups) also share the dog-suffix window; doc 5 has one
+    // 8-token window but no partner at this L
+    val out = Dedup.duplicateSubstrings(docs, "text", "doc_id",
+        windowTokens = 8, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      ("quick brown fox jumps over the lazy dog", 2L, 2L),
+      ("the quick brown fox jumps over the lazy", 3L, 3L)))
+    // minDocs=3 keeps only the window all three dup docs share
+    val strict = Dedup.duplicateSubstrings(docs, "text", "doc_id",
+        windowTokens = 8, minDocs = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(strict == Seq(("the quick brown fox jumps over the lazy", 3L, 3L)))
+  }
+
+  test("duplicate substrings equal a naive group-by-gram oracle") {
+    // candidate-hash phase + exact regroup must equal the direct (no-hash)
+    // formulation — collisions or phase wiring would break this
+    val L = 4
+    val naive = docs.as[(Long, String)].collect().toSeq
+      .flatMap { case (id, t) =>
+        Dedup.tokenWindowsOf(t, L).map { case (_, g) => (g, id) } }
+      .groupBy(_._1)
+      .map { case (g, occ) =>
+        (g, occ.map(_._2).distinct.size.toLong, occ.size.toLong) }
+      .filter(_._2 >= 2).toSeq.sortBy(_._1)
+    val got = Dedup.duplicateSubstrings(docs, "text", "doc_id",
+        windowTokens = L, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == naive)
+  }
+
+  test("duplicate span coverage: per-doc contaminated token counts") {
+    // L=4, minDocs=2 (worked by hand): docs 0/2 fully covered by each
+    // other; doc 1 covered except its final 'cat'; docs 3/5 share the
+    // 7-token prefix; doc 4 untouched
+    val got = Dedup.duplicateSpanCoverage(docs, "text", "doc_id",
+        windowTokens = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(got == Map(
+      0L -> ((9, 9)), 1L -> ((9, 8)), 2L -> ((9, 9)),
+      3L -> ((7, 7)), 4L -> ((6, 0)), 5L -> ((8, 7))))
+    // coverage never exceeds the doc's token count
+    assert(got.values.forall { case (n, d) => d >= 0 && d <= n })
+  }
+
+  test("repetition stats: top-gram multiplicity and repeated-span coverage") {
+    val reps = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // no repeats
+      (1L, "a b a b a b a b"), // top bigram 'a b' x4; all 5-grams repeat
+      (2L, "x y"), // shorter than dupN: coverage 0, top bigram 1
+      (3L, "one two three one two three seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(reps, "text", "doc_id",
+        topN = 2, dupN = 5)
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((9, 1, 0)))
+    assert(out(1L) == ((8, 4, 8)))
+    assert(out(2L) == ((2, 1, 0)))
+    // doc 3: 'one two'/'two three' twice; no 5-gram repeats
+    assert(out(3L) == ((10, 2, 0)))
+  }
+
   test("connected components: min-id labels, chains, determinism") {
     // two components: a 6-node PATH (worst case for plain propagation —
     // pointer jumping must still converge inside the round cap) and a
