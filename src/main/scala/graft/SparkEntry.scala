@@ -529,6 +529,21 @@ object SparkEntry {
           col("n_dup_tokens"))
         .orderBy("doc_id")
     }),
+    "q_dup_substrings_incr" -> ((s, d) => {
+      // incremental sweep of the batch (doc_id % 4 = 3, the family
+      // convention) against the persisted gram store of everything else;
+      // output == full-run rows restricted to grams the batch touches
+      val docs = table(s, d, "documents")
+      val store = Dedup.duplicateSubstringGramStore(
+        docs.filter(col("doc_id") % 4 =!= 3), "text", "doc_id",
+        DupWindowTokens)
+      Dedup.duplicateSubstringsIncremental(
+          docs.filter(col("doc_id") % 4 === 3), store, "text", "doc_id",
+          DupWindowTokens, DupMinDocs)
+        .select(col("gram"), col("n_docs").cast("int").as("n_docs"),
+          col("n_occ").cast("int").as("n_occ"))
+        .orderBy("gram")
+    }),
     "q_repetition" -> ((s, d) => {
       // within-doc Gopher repetition rules; dupN=3 is corpus-appropriate
       // (this vocabulary repeats trigrams within docs, never 5-grams)
@@ -985,6 +1000,28 @@ object SparkEntry {
        |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
        |  CAST(COUNT(*) AS INT) AS n_occ
        |FROM wins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= $minDocs
+       |ORDER BY gram""".stripMargin
+
+  /** DuckDB SQL replaying q_dup_substrings_incr: the full-corpus window
+    * table restricted to grams occurring in the new batch — the exact
+    * equality [[graft.ops.Dedup.duplicateSubstringsIncremental]] pins
+    * (window counts are per-document facts, so a frozen store row never
+    * drifts, unlike the df-ordered ngram-join prefix).
+    */
+  private def dupSubstringsIncrOracle(l: Int, minDocs: Int,
+      batchPred: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, unnest([array_to_string(t[i:i+${l - 1}], ' ')
+       |    for i in generate_series(1, len(t) - ${l - 1})]) AS gram
+       |  FROM toks WHERE len(t) >= $l),
+       |bg AS (SELECT DISTINCT gram FROM wins WHERE $batchPred)
+       |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+       |  CAST(COUNT(*) AS INT) AS n_occ
+       |FROM wins JOIN bg USING (gram)
+       |GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= $minDocs
        |ORDER BY gram""".stripMargin
 
   /** DuckDB SQL replaying q_dup_coverage: duplicated windows (same CTE
@@ -1650,6 +1687,8 @@ object SparkEntry {
     "q_split" -> splitOracle("graft",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "q_dup_substrings" -> dupSubstringsOracle(DupWindowTokens, DupMinDocs),
+    "q_dup_substrings_incr" -> dupSubstringsIncrOracle(DupWindowTokens,
+      DupMinDocs, "doc_id % 4 = 3"),
     "q_dup_coverage" -> dupCoverageOracle(DupWindowTokens, DupMinDocs),
     "q_repetition" -> repetitionOracle(RepTopN, RepDupN),
     "q_curation" -> curationOracle(shingleSize = 2, numHashes = 64,

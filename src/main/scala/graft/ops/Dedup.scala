@@ -664,6 +664,44 @@ object Dedup {
       .select("gram", "n_docs", "n_occ")
   }
 
+  /** The persistable gram store behind [[duplicateSubstringsIncremental]]:
+    * one row per (gram, document) with its occurrence count — the
+    * deduped-per-doc window table. Unlike the n-gram Jaccard join (whose
+    * prefix order depends on GLOBAL df and therefore drifts as the corpus
+    * grows — why that op deliberately has no incremental form), window
+    * occurrence counts are per-document facts: a frozen store row never
+    * changes meaning, so the incremental sweep is exactly the full run.
+    * Append each swept batch's rows to the store after the sweep (the
+    * band-row-store convention of [[minHashBandRows]]).
+    */
+  def duplicateSubstringGramStore(df: DataFrame, textCol: String,
+      idCol: String, windowTokens: Int = 8): DataFrame =
+    tokenWindowRows(df, textCol, idCol, windowTokens)
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("n_occ"))
+
+  /** Incremental [[duplicateSubstrings]]: sweep a newly ingested batch
+    * against a persisted gram store and emit every duplicated gram the
+    * batch TOUCHES, with its counts over the full corpus-so-far — exactly
+    * the full run's rows restricted to grams occurring in the batch
+    * (spec-pinned equality). O(batch) work: only the batch is windowed;
+    * the store is pruned by one semi-join on the batch's grams before the
+    * counting aggregation. Batch ids must be new (dedupe re-ingests first,
+    * e.g. via [[exactIncremental]] — the family convention).
+    */
+  def duplicateSubstringsIncremental(newDocs: DataFrame, gramStore: DataFrame,
+      textCol: String, idCol: String, windowTokens: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val b = duplicateSubstringGramStore(newDocs, textCol, idCol, windowTokens)
+    val touched = gramStore.select("gram", "doc_id", "n_occ")
+      .join(b.select("gram").distinct(), Seq("gram"), "left_semi")
+    b.unionByName(touched)
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("n_docs"), sum("n_occ").as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram", "n_docs", "n_occ")
+  }
+
   /** Per-document duplicate-substring coverage: how many of a document's
     * token positions fall inside at least one cross-document duplicated
     * L-token window ([[duplicateSubstrings]]) — the contamination score

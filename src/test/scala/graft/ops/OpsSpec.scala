@@ -558,6 +558,31 @@ class OpsSpec extends SparkTestBase {
     assert(got.values.forall { case (n, d) => d >= 0 && d <= n })
   }
 
+  test("incremental duplicate substrings equal full run on batch grams") {
+    val L = 4
+    val batch = docs.filter($"doc_id" % 2 === 1) // 1, 3, 5
+    val old = docs.filter($"doc_id" % 2 === 0) // 0, 2, 4
+    val store = Dedup.duplicateSubstringGramStore(old, "text", "doc_id", L)
+    val inc = Dedup.duplicateSubstringsIncremental(batch, store,
+        "text", "doc_id", L, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSet
+    // the pinned equality: full-run rows restricted to grams the batch has
+    val batchGrams = batch.as[(Long, String)].collect()
+      .flatMap { case (_, t) => Dedup.tokenWindowsOf(t, L).map(_._2) }.toSet
+    val full = Dedup.duplicateSubstrings(docs, "text", "doc_id", L, 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(inc == full.filter(r => batchGrams.contains(r._1)))
+    assert(inc.nonEmpty) // fixture sanity: docs 1/3/5 do share windows
+    // store-append convention: store + batch rows == gram store of union
+    val appended = store.unionByName(
+        Dedup.duplicateSubstringGramStore(batch, "text", "doc_id", L))
+      .as[(String, Long, Long)].collect().toSet
+    val unionStore = Dedup.duplicateSubstringGramStore(docs,
+        "text", "doc_id", L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(appended == unionStore)
+  }
+
   test("repetition stats: top-gram multiplicity and repeated-span coverage") {
     val reps = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"), // no repeats
