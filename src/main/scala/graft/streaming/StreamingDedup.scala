@@ -160,6 +160,48 @@ object StreamingDedup {
     writeBatch(bucketed(b), s"$stateDir/buckets", batchId)
   }
 
+  /** Substring-level sibling of [[nearDupSweep]]: the persisted state is
+    * the per-(gram, doc) window-count table
+    * [[graft.ops.Dedup.duplicateSubstringGramStore]] produces. Each batch
+    * sweeps itself against the landed store via
+    * [[graft.ops.Dedup.duplicateSubstringsIncremental]] and emits every
+    * duplicated gram it TOUCHES with counts over the corpus-so-far.
+    *
+    * The convergence contract differs from the pair sweeps (which
+    * telescope disjointly): a gram's counts only change when a batch
+    * touches it, and the touching batch re-emits it with full counts — so
+    * the LATEST emission per gram across all batches equals the full-run
+    * [[graft.ops.Dedup.duplicateSubstrings]] table over the landed corpus
+    * (spec-pinned). Readers take max-`_batch` per gram; no retractions
+    * occur because counts are monotone. Same crash-replay contract.
+    */
+  def duplicateSubstringSweep(docs: DataFrame, textCol: String,
+      idCol: String, stateDir: String, checkpointDir: String,
+      windowTokens: Int = 8, minDocs: Int = 2): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        duplicateSubstringSweepBatch(batch, batchId, textCol, idCol,
+          stateDir, windowTokens, minDocs)
+      }
+      .start()
+
+  /** One micro-batch of [[duplicateSubstringSweep]]. Idempotent per
+    * batchId.
+    */
+  def duplicateSubstringSweepBatch(batch: DataFrame, batchId: Long,
+      textCol: String, idCol: String, stateDir: String, windowTokens: Int,
+      minDocs: Int): Unit = {
+    val b = batch.select(col(idCol), col(textCol))
+    def grams(df: DataFrame): DataFrame =
+      Dedup.duplicateSubstringGramStore(df, textCol, idCol, windowTokens)
+    val store = landed(b, s"$stateDir/grams", grams(b.limit(0)), batchId)
+    val dups = Dedup.duplicateSubstringsIncremental(b, store, textCol,
+      idCol, windowTokens, minDocs)
+    writeBatch(dups, s"$stateDir/dups", batchId)
+    writeBatch(grams(b), s"$stateDir/grams", batchId)
+  }
+
   /** Landed state under `dir` excluding the current batchId's partition —
     * a crash-replayed batch must not sweep against its own half-landed
     * remains (partition-pruned); `template.limit(0)` supplies the schema

@@ -158,6 +158,56 @@ class StreamingSpec extends SparkTestBase {
     assert(got.length == full.size, "every pair exactly once across batches")
   }
 
+  test("duplicate-substring streaming sweep converges to the full batch run") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, max}
+    val state = tmpDir("graft-dsweep-state")
+    val ckpt = tmpDir("graft-dsweep-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val source = stream.toDF().toDF("doc_id", "text")
+    val L = 4
+    val q = StreamingDedup.duplicateSubstringSweep(source, "text",
+      "doc_id", state, ckpt, windowTokens = L, minDocs = 2)
+    // the shared 'the quick brown fox' windows straddle batches: doc 2
+    // (batch 1) must re-emit them with counts over docs 0..2, and doc 4
+    // (batch 2) grows them again — latest emission per gram is the truth
+    val all = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "the quick brown fox runs far away now"),
+      (3L, "wholly unrelated content about posting lists here"),
+      (4L, "the quick brown fox jumps over the lazy dog again"))
+    stream.addData(all.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(all.slice(2, 4): _*)
+    q.processAllAvailable()
+    stream.addData(all.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    def latest(): Set[(String, Long, Long)] = {
+      val d = spark.read.parquet(s"$state/dups")
+      d.withColumn("mb", max("_batch").over(
+          Window.partitionBy("gram")))
+        .filter(col("_batch") === col("mb"))
+        .select("gram", "n_docs", "n_occ")
+        .as[(String, Long, Long)].collect().toSet
+    }
+    val full = Dedup.duplicateSubstrings(all.toDF("doc_id", "text"),
+        "text", "doc_id", L, 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(full.exists(_._2 >= 3), s"fixture should have a 3+-doc gram: $full")
+    assert(latest() == full, s"stream=${latest()} full=$full")
+    // crash-replay idempotency: re-running the LAST batch overwrites its
+    // own partitions; converged state unchanged
+    StreamingDedup.duplicateSubstringSweepBatch(
+      all.drop(4).toDF("doc_id", "text"), 2L, "text", "doc_id", state, L, 2)
+    assert(latest() == full)
+    assert(spark.read.parquet(s"$state/grams")
+      .filter(col("_batch") === 2L).select("doc_id").distinct().count() == 1)
+  }
+
   test("embedding streaming sweep telescopes to the full batch run") {
     import graft.ops.Dedup
     val state = tmpDir("graft-emsweep-state")
