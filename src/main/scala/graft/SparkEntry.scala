@@ -495,6 +495,22 @@ object SparkEntry {
         .select("doc_id", "lang_pred", "split")
         .orderBy("doc_id")
     }),
+    "q_curation_rep" -> ((s, d) => {
+      // q_curation plus the Gopher repetition gate (integer-pct
+      // thresholds picked from the corpus distribution: top-2-gram p90
+      // ~7%, dup-3-gram coverage p95 ~6% — each gate really rejects docs
+      // at every sf). dupN=3 for the same corpus reason as q_repetition.
+      import graft.ops.Curation
+      Curation.curate(table(s, d, "documents"), "text", "doc_id",
+          Curation.Config(shingleSize = 2, numHashes = 64, bands = 16,
+            minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+            minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+            fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
+            maxRepSpanPct = Some(5)))
+        .select("doc_id", "lang_pred", "split")
+        .orderBy("doc_id")
+    }),
     "q_langid" -> ((s, d) => {
       TextAnalysis.langId(table(s, d, "documents"), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
@@ -1167,10 +1183,53 @@ object SparkEntry {
   private def curationOracle(shingleSize: Int, numHashes: Int, bands: Int,
       minJaccard: Double, seed: Long, maxBucketSize: Int,
       minQuality: Double, keepLangs: Seq[String], splitSeed: String,
-      fractions: Seq[(String, Double)]): String = {
+      fractions: Seq[(String, Double)], repTopN: Int = 2, repDupN: Int = 5,
+      maxTopGramPct: Option[Int] = None,
+      maxRepSpanPct: Option[Int] = None): String = {
     val stopList = graft.ops.TextAnalysis.stopwords
       .map(s => s"'$s'").mkString(", ")
     val langsIn = keepLangs.map(l => s"'$l'").mkString(", ")
+    // Gopher repetition gate over surv (Curation.Config.maxTopGramPct /
+    // maxRepSpanPct): same CTE shapes as repetitionOracle, integer-only
+    // comparisons (count*100 <= pct*denom) — no cross-engine float hazard
+    val repCtes =
+      if (maxTopGramPct.isEmpty && maxRepSpanPct.isEmpty) ""
+      else
+        s"""rtoks AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+           |  FROM surv),
+           |rtopc AS (
+           |  SELECT doc_id, max(c) AS topc FROM (
+           |    SELECT doc_id, g, COUNT(*) AS c FROM (
+           |      SELECT doc_id, unnest([array_to_string(t[i:i+${repTopN - 1}], ' ')
+           |        for i in generate_series(1, len(t) - ${repTopN - 1})]) AS g
+           |      FROM rtoks WHERE len(t) >= $repTopN) z GROUP BY doc_id, g) z2
+           |  GROUP BY doc_id),
+           |rdg AS (
+           |  SELECT doc_id, i, array_to_string(t[i:i+${repDupN - 1}], ' ') AS g
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${repDupN - 1})) AS i
+           |        FROM rtoks WHERE len(t) >= $repDupN) z),
+           |rdup AS (
+           |  SELECT doc_id, g FROM rdg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+           |rcov AS (
+           |  SELECT DISTINCT f.doc_id, f.i + o.p AS pos
+           |  FROM rdg f JOIN rdup USING (doc_id, g), generate_series(0, ${repDupN - 1}) AS o(p)),
+           |rstat AS (
+           |  SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS nt,
+           |    CAST(coalesce(p.topc, 0) AS BIGINT) AS topc,
+           |    CAST(coalesce(r.n, 0) AS BIGINT) AS repn
+           |  FROM rtoks t LEFT JOIN rtopc p USING (doc_id)
+           |  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM rcov GROUP BY doc_id) r USING (doc_id)),
+           |""".stripMargin
+    val repJoin =
+      if (repCtes.isEmpty) ""
+      else "\n  JOIN rstat rs ON rs.doc_id = s.doc_id"
+    val repPred =
+      maxTopGramPct.map(p =>
+        s"\n    AND rs.topc * 100 <= $p * greatest(1, rs.nt - ${repTopN - 1})")
+        .getOrElse("") +
+      maxRepSpanPct.map(p => s"\n    AND rs.repn * 100 <= $p * rs.nt")
+        .getOrElse("")
     s"""WITH RECURSIVE canon AS (
        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |ek AS (
@@ -1208,12 +1267,12 @@ object SparkEntry {
        |       + 0.1 * (1.0 - least((CASE WHEN nc > 0
        |          THEN np::DOUBLE / nc ELSE 0.0 END) * 5, 1.0))), 6) AS quality
        |  FROM qtk),
-       |${langPredCtes("surv")},
+       |$repCtes${langPredCtes("surv")},
        |gated AS (
        |  SELECT s.doc_id FROM surv s
        |  JOIN qual q ON q.doc_id = s.doc_id
-       |  JOIN lpred l ON l.doc_id = s.doc_id
-       |  WHERE q.quality >= $minQuality AND l.lang_pred IN ($langsIn))
+       |  JOIN lpred l ON l.doc_id = s.doc_id$repJoin
+       |  WHERE q.quality >= $minQuality AND l.lang_pred IN ($langsIn)$repPred)
        |SELECT g.doc_id, l.lang_pred, sp.split
        |FROM gated g JOIN lpred l ON l.doc_id = g.doc_id
        |JOIN (${splitSelect(splitSeed, fractions, "gated")}) sp
@@ -1695,6 +1754,12 @@ object SparkEntry {
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
       minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
       fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "q_curation_rep" -> curationOracle(shingleSize = 2, numHashes = 64,
+      bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+      minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+      fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
+      maxRepSpanPct = Some(5)),
     "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2),
     "q_bm25_fuzzy_ws" -> bm25FuzzyWsOracle(BmFuzzyQuery, k1 = 1.2),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),

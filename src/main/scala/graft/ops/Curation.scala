@@ -32,6 +32,15 @@ object Curation {
     * exact n-gram Jaccard join (recall 1.0 by the prefix-filter theorem) —
     * the same downstream components/anti-join tail either way; numHashes/
     * bands/maxBucketSize are LSH-only knobs and are ignored in exact mode.
+    *
+    * `maxTopGramPct` / `maxRepSpanPct` enable the Gopher repetition gate
+    * (Rae et al. 2021 App. A1.1) over [[TextAnalysis.repetitionStats]]:
+    * reject a document whose most frequent `repTopN`-gram exceeds
+    * maxTopGramPct% of its gram count, or whose within-doc duplicated
+    * `repDupN`-gram spans cover more than maxRepSpanPct% of its tokens.
+    * Percent thresholds are INTEGERS and the comparison is integer-only
+    * (count*100 <= pct*denominator) so the gate replays bit-exactly in any
+    * engine — no cross-engine float comparison.
     */
   final case class Config(
       shingleSize: Int = 3,
@@ -45,7 +54,11 @@ object Curation {
       splitSeed: String = "graft",
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
-      exactRecall: Boolean = false)
+      exactRecall: Boolean = false,
+      repTopN: Int = 2,
+      repDupN: Int = 5,
+      maxTopGramPct: Option[Int] = None,
+      maxRepSpanPct: Option[Int] = None)
 
   def curate(df: DataFrame, textCol: String, idCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -64,6 +77,22 @@ object Curation {
         TextAnalysis.qualityScore(survivors, textCol), textCol)
       .filter(col("quality") >= cfg.minQuality &&
         col("lang_pred").isin(cfg.keepLangs: _*))
-    Sampling.split(gated, col(idCol), cfg.splitSeed, cfg.fractions)
+    val repGated =
+      if (cfg.maxTopGramPct.isEmpty && cfg.maxRepSpanPct.isEmpty) gated
+      else {
+        val (tN, dN) = (cfg.repTopN, cfg.repDupN)
+        val u = udf((text: String) => TextAnalysis.repetitionOf(text, tN, dN))
+        val nt = col("_rep._1").cast("long")
+        val topOk = cfg.maxTopGramPct.map(p =>
+          col("_rep._2").cast("long") * 100 <=
+            lit(p.toLong) * greatest(lit(1L), nt - (cfg.repTopN - 1)))
+          .getOrElse(lit(true))
+        val repOk = cfg.maxRepSpanPct.map(p =>
+          col("_rep._3").cast("long") * 100 <= lit(p.toLong) * nt)
+          .getOrElse(lit(true))
+        gated.withColumn("_rep", u(col(textCol)))
+          .filter(topOk && repOk).drop("_rep")
+      }
+    Sampling.split(repGated, col(idCol), cfg.splitSeed, cfg.fractions)
   }
 }

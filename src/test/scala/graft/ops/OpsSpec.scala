@@ -209,6 +209,33 @@ class OpsSpec extends SparkTestBase {
     assert(exact == Set(0L, 5L))
   }
 
+  test("curation repetition gate drops looping docs the other gates pass") {
+    // all three docs clear dedup, quality and language gates; the victims
+    // loop in ways only the repetition gate sees. topVictim: "x y" x3 in
+    // 23 tokens (300 > 8 * 22 grams) but no repeated trigram; spanVictim:
+    // "alpha runs beta" x2 covering 6/34 tokens (> 5%) but max bigram
+    // count 2 (200 <= 8 * 33)
+    val clean = "the winter garden of stone and light turns to silver " +
+      "mist running past old gates while distant bells ring over quiet " +
+      "rooftops near the frozen harbor tonight again"
+    val topVictim = "the stream of tokens and the parser to emit x y one " +
+      "trees x y two branches x y three running leaves falling"
+    val spanVictim = "the alpha runs beta gamma delta and epsilon zeta " +
+      "of eta theta to iota kappa lambda running mu nu xi omicron pi rho " +
+      "sigma tau upsilon phi crossing river bank alpha runs beta again"
+    val corpus = Seq((0L, clean), (1L, topVictim), (2L, spanVictim))
+      .toDF("doc_id", "text")
+    def kept(cfg: Curation.Config): Set[Long] =
+      Curation.curate(corpus, "text", "doc_id", cfg)
+        .select("doc_id").as[Long].collect().toSet
+    val base = Curation.Config(repDupN = 3)
+    assert(kept(base) == Set(0L, 1L, 2L)) // gates off: nothing dropped
+    assert(kept(base.copy(maxTopGramPct = Some(8))) == Set(0L, 2L))
+    assert(kept(base.copy(maxRepSpanPct = Some(5))) == Set(0L, 1L))
+    assert(kept(base.copy(maxTopGramPct = Some(8),
+      maxRepSpanPct = Some(5))) == Set(0L))
+  }
+
   test("incremental exact dedup: first-wins across batches and in-batch") {
     val b1 = Seq((0L, "aa"), (1L, "bb"), (2L, "aa")).toDF("doc_id", "text")
     val s1 = Dedup.exactIncremental(b1, b1.limit(0)
