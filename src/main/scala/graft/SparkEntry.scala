@@ -560,6 +560,19 @@ object SparkEntry {
           col("n_occ").cast("int").as("n_occ"))
         .orderBy("gram")
     }),
+    "q_decontaminate" -> ((s, d) => {
+      // eval-set decontamination: corpus = doc_id % 10 != 7, benchmark =
+      // the % 10 == 7 split; count shared L-token windows per corpus doc
+      // (4/6/46 contaminated docs at sf0.001/0.01/0.1 — non-trivial at
+      // every scale)
+      val docs = table(s, d, "documents")
+      Dedup.contaminationCounts(docs.filter(col("doc_id") % 10 =!= 7),
+          docs.filter(col("doc_id") % 10 === 7), "text", "doc_id",
+          DupWindowTokens)
+        .select(col("doc_id"),
+          col("n_contaminated").cast("int").as("n_contaminated"))
+        .orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, d) => {
       // within-doc Gopher repetition rules; dupN=3 is corpus-appropriate
       // (this vocabulary repeats trigrams within docs, never 5-grams)
@@ -1039,6 +1052,25 @@ object SparkEntry {
        |FROM wins JOIN bg USING (gram)
        |GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= $minDocs
        |ORDER BY gram""".stripMargin
+
+  /** DuckDB SQL replaying q_decontaminate: the benchmark split's distinct
+    * window grams joined back against the corpus split's windows — the
+    * exact-on-gram-string semantics [[graft.ops.Dedup.contaminationCounts]]
+    * guarantees (its hash phase is a pruning optimization only).
+    */
+  private def decontamOracle(l: Int, benchPred: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, unnest([array_to_string(t[i:i+${l - 1}], ' ')
+       |    for i in generate_series(1, len(t) - ${l - 1})]) AS gram
+       |  FROM toks WHERE len(t) >= $l),
+       |bg AS (SELECT DISTINCT gram FROM wins WHERE $benchPred)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_contaminated
+       |FROM wins JOIN bg USING (gram)
+       |WHERE NOT ($benchPred)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB SQL replaying q_dup_coverage: duplicated windows (same CTE
     * logic as [[dupSubstringsOracle]]) exploded to the token positions
@@ -1748,6 +1780,7 @@ object SparkEntry {
     "q_dup_substrings" -> dupSubstringsOracle(DupWindowTokens, DupMinDocs),
     "q_dup_substrings_incr" -> dupSubstringsIncrOracle(DupWindowTokens,
       DupMinDocs, "doc_id % 4 = 3"),
+    "q_decontaminate" -> decontamOracle(DupWindowTokens, "doc_id % 10 = 7"),
     "q_dup_coverage" -> dupCoverageOracle(DupWindowTokens, DupMinDocs),
     "q_repetition" -> repetitionOracle(RepTopN, RepDupN),
     "q_curation" -> curationOracle(shingleSize = 2, numHashes = 64,

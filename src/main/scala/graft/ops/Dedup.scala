@@ -702,6 +702,42 @@ object Dedup {
       .select("gram", "n_docs", "n_occ")
   }
 
+  /** Benchmark decontamination counts (cross-table substring overlap —
+    * the eval-set hygiene pass of every LLM training pipeline: Brown et
+    * al. 2020 App. C remove training docs sharing a 13-gram with an eval
+    * example; this is that op over whitespace token windows): for each
+    * corpus document sharing at least one L-token window with the
+    * benchmark table, the number of its window positions whose gram also
+    * occurs in the benchmark. 100-TB shape: the benchmark side is
+    * definitionally small (eval sets), so phase 1 semi-joins the corpus
+    * windows against a BROADCAST set of the benchmark's 8-byte window
+    * hashes — the corpus never shuffles — and phase 2 re-verifies the
+    * surviving candidates on the exact gram string (collisions harmless,
+    * recall 1.0, the [[duplicateSubstrings]] candidate/verify signature).
+    */
+  def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, windowTokens: Int = 8): DataFrame = {
+    val cw = tokenWindowRows(corpus, textCol, idCol, windowTokens)
+    val bw = tokenWindowRows(benchmark, textCol, idCol, windowTokens)
+      .select("gh", "gram").distinct()
+    val cand = cw.join(broadcast(bw.select("gh").distinct()),
+      Seq("gh"), "left_semi")
+    cand.join(broadcast(bw), Seq("gh", "gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Corpus rows sharing NO L-token window with the benchmark table —
+    * [[contaminationCounts]]' survivors via one id-keyed anti-join (the
+    * corpus text itself never shuffles).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, windowTokens: Int = 8): DataFrame = {
+    val bad = contaminationCounts(corpus, benchmark, textCol, idCol,
+      windowTokens).select(col("doc_id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Per-document duplicate-substring coverage: how many of a document's
     * token positions fall inside at least one cross-document duplicated
     * L-token window ([[duplicateSubstrings]]) — the contamination score

@@ -610,6 +610,26 @@ class OpsSpec extends SparkTestBase {
     assert(appended == unionStore)
   }
 
+  test("decontamination: shared benchmark windows counted, survivors clean") {
+    val L = 4
+    val corpus = Seq(
+      (0L, "a b c d e f g h"), // windows "c d e f" and "d e f g" shared
+      (1L, "k l m n o p q r"), // clean
+      (2L, "z z c d e f z z")  // one shared window
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "c d e f g")).toDF("doc_id", "text")
+    val counts = Dedup.contaminationCounts(corpus, bench, "text", "doc_id", L)
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 2L, 2L -> 1L))
+    val clean = Dedup.decontaminate(corpus, bench, "text", "doc_id", L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(1L))
+    // a benchmark shorter than the window contaminates nothing
+    val shortBench = Seq((101L, "c d e")).toDF("doc_id", "text")
+    assert(Dedup.contaminationCounts(corpus, shortBench, "text", "doc_id",
+      L).isEmpty)
+  }
+
   test("repetition stats: top-gram multiplicity and repeated-span coverage") {
     val reps = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"), // no repeats
