@@ -202,6 +202,40 @@ object StreamingDedup {
     writeBatch(grams(b), s"$stateDir/grams", batchId)
   }
 
+  /** Streaming eval-set decontamination GATE: each micro-batch is checked
+    * against the STATIC benchmark table via
+    * [[graft.ops.Dedup.contaminationCounts]] (broadcast benchmark window
+    * hashes + exact gram re-verify); contaminated docs' counts land under
+    * `outDir/contam`, clean rows under `outDir/clean`. Unlike the pair
+    * sweeps this needs NO persisted sweep state — the benchmark is fixed
+    * and contamination is a per-document fact, so the union of per-batch
+    * outputs IS the full-run [[graft.ops.Dedup.decontaminate]] over the
+    * landed corpus, exactly (spec-pinned). Same `_batch`-partitioned
+    * crash-replay contract as the sweeps.
+    */
+  def decontaminationGate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, outDir: String, checkpointDir: String,
+      windowTokens: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decontaminationGateBatch(batch, batchId, benchmark, textCol, idCol,
+          outDir, windowTokens)
+      }
+      .start()
+
+  /** One micro-batch of [[decontaminationGate]]. Idempotent per batchId. */
+  def decontaminationGateBatch(batch: DataFrame, batchId: Long,
+      benchmark: DataFrame, textCol: String, idCol: String, outDir: String,
+      windowTokens: Int): Unit = {
+    val b = batch.select(col(idCol), col(textCol))
+    val contam = Dedup.contaminationCounts(b, benchmark, textCol, idCol,
+      windowTokens)
+    writeBatch(contam, s"$outDir/contam", batchId)
+    writeBatch(b.join(contam.select(col("doc_id").as(idCol)), Seq(idCol),
+      "left_anti"), s"$outDir/clean", batchId)
+  }
+
   /** Landed state under `dir` excluding the current batchId's partition —
     * a crash-replayed batch must not sweep against its own half-landed
     * remains (partition-pruned); `template.limit(0)` supplies the schema

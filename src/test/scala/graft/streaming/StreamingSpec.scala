@@ -208,6 +208,50 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("_batch") === 2L).select("doc_id").distinct().count() == 1)
   }
 
+  test("decontamination gate: per-batch union equals the full batch run") {
+    import graft.ops.Dedup
+    val out = tmpDir("graft-decontam-out")
+    val ckpt = tmpDir("graft-decontam-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val L = 4
+    val bench = Seq((100L, "c d e f g")).toDF("doc_id", "text")
+    val all = Seq(
+      (0L, "a b c d e f g h"), // contaminated: "c d e f", "d e f g"
+      (1L, "k l m n o p q r"), // clean
+      (2L, "z z c d e f z z"), // contaminated: one window
+      (3L, "u v w x y z a b")) // clean
+    val stream = MemoryStream[(Long, String)]
+    val source = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.decontaminationGate(source, bench, "text",
+      "doc_id", out, ckpt, windowTokens = L)
+    // contaminated and clean docs in BOTH batches
+    stream.addData(all.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(all.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val gotContam = spark.read.parquet(s"$out/contam")
+      .select("doc_id", "n_contaminated").as[(Long, Long)].collect().toMap
+    val fullContam = Dedup.contaminationCounts(all.toDF("doc_id", "text"),
+      bench, "text", "doc_id", L).as[(Long, Long)].collect().toMap
+    assert(fullContam == Map(0L -> 2L, 2L -> 1L))
+    assert(gotContam == fullContam)
+    val gotClean = spark.read.parquet(s"$out/clean")
+      .select("doc_id").as[Long].collect().toSet
+    val fullClean = Dedup.decontaminate(all.toDF("doc_id", "text"), bench,
+      "text", "doc_id", L).select("doc_id").as[Long].collect().toSet
+    assert(gotClean == fullClean && gotClean == Set(1L, 3L))
+    // crash-replay idempotency: re-running the last batch overwrites its
+    // own partitions; converged output unchanged
+    StreamingDedup.decontaminationGateBatch(all.drop(2).toDF("doc_id",
+      "text"), 1L, bench, "text", "doc_id", out, L)
+    assert(spark.read.parquet(s"$out/contam")
+      .select("doc_id", "n_contaminated").as[(Long, Long)].collect()
+      .toMap == fullContam)
+    assert(spark.read.parquet(s"$out/clean").select("doc_id").as[Long]
+      .collect().toSet == fullClean)
+  }
+
   test("embedding streaming sweep telescopes to the full batch run") {
     import graft.ops.Dedup
     val state = tmpDir("graft-emsweep-state")
