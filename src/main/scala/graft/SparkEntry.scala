@@ -573,6 +573,31 @@ object SparkEntry {
           col("n_contaminated").cast("int").as("n_contaminated"))
         .orderBy("doc_id")
     }),
+    "q_pii_scrub" -> ((s, d) => {
+      // PII redaction contract: this corpus contains no digits or '@' at
+      // all, so PII is synthesized DETERMINISTICALLY from each doc's own
+      // words + id (doc_id%3==0 gets an email, %3==1 a phone AND an
+      // email, %3==2 stays clean) — both engines replay the identical
+      // injection, then the scrub must match byte-for-byte
+      val w = filter(split(col("text"), " "), x => x =!= "")
+      val email = concat(element_at(w, 1), lit("."), element_at(w, 2),
+        lit("@"), element_at(w, 3), lit(".com"))
+      val phone = concat(lit("+91 "), lpad(pmod(col("doc_id") * 7919,
+        lit(10000000000L)).cast("string"), 10, "0"))
+      val injected = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" contact "), email, lit(" now")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(" call "), phone, lit(" or "), email))
+        .otherwise(col("text"))
+      TextAnalysis.piiScrub(
+          table(s, d, "documents").filter(size(w) >= 3)
+            .withColumn("text", injected), "text")
+        .select(col("doc_id"),
+          col("n_emails").cast("int").as("n_emails"),
+          col("n_phones").cast("int").as("n_phones"),
+          col("text_scrubbed"))
+        .orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, d) => {
       // within-doc Gopher repetition rules; dupN=3 is corpus-appropriate
       // (this vocabulary repeats trigrams within docs, never 5-grams)
@@ -1071,6 +1096,44 @@ object SparkEntry {
        |FROM wins JOIN bg USING (gram)
        |WHERE NOT ($benchPred)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB SQL replaying q_pii_scrub: the deterministic PII injection
+    * (same word/id recipe as the Spark side) followed by the scrub, using
+    * the VERY SAME regex literals [[graft.ops.TextAnalysis.piiScrub]]
+    * compiles — both are RE2-compatible, and DuckDB's regexp functions
+    * are RE2, so match extents agree with Java's leftmost-first scan.
+    * DuckDB regexp_replace needs the explicit 'g' flag (Spark's replaces
+    * all occurrences by default).
+    */
+  private def piiScrubOracle: String = {
+    def q(re: String) = "'" + re.replace("'", "''") + "'"
+    val e = q(graft.ops.TextAnalysis.emailRegex)
+    val p = q(graft.ops.TextAnalysis.phoneRegex)
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |inj AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN doc_id % 3 = 0 THEN text || ' contact ' ||
+       |        t[1] || '.' || t[2] || '@' || t[3] || '.com' || ' now'
+       |      WHEN doc_id % 3 = 1 THEN text || ' call ' ||
+       |        '+91 ' || lpad(CAST(doc_id * 7919 % 10000000000 AS VARCHAR), 10, '0') ||
+       |        ' or ' || t[1] || '.' || t[2] || '@' || t[3] || '.com'
+       |      ELSE text END AS text
+       |  FROM toks WHERE len(t) >= 3),
+       |scrub AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, $e)) AS INT) AS n_emails,
+       |    regexp_replace(text, $e, '<EMAIL>', 'g') AS te
+       |  FROM inj)
+       |SELECT doc_id, n_emails,
+       |  CAST(len(regexp_extract_all(te, $p)) AS INT) AS n_phones,
+       |  regexp_replace(te, $p, '<PHONE>', 'g') AS text_scrubbed
+       |FROM scrub
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB SQL replaying q_dup_coverage: duplicated windows (same CTE
     * logic as [[dupSubstringsOracle]]) exploded to the token positions
@@ -1782,6 +1845,7 @@ object SparkEntry {
       DupMinDocs, "doc_id % 4 = 3"),
     "q_decontaminate" -> decontamOracle(DupWindowTokens, "doc_id % 10 = 7"),
     "q_dup_coverage" -> dupCoverageOracle(DupWindowTokens, DupMinDocs),
+    "q_pii_scrub" -> piiScrubOracle,
     "q_repetition" -> repetitionOracle(RepTopN, RepDupN),
     "q_curation" -> curationOracle(shingleSize = 2, numHashes = 64,
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,

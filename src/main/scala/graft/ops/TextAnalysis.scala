@@ -96,6 +96,41 @@ object TextAnalysis {
       aggregate(t, lit(0L), (acc, tok) => xxhash64(acc, tok)))
   }
 
+  /** PII scrub regexes — exposed (not private): SparkEntry generates the
+    * DuckDB q_pii_scrub oracle from these same literals (one source of
+    * truth, like langProfiles). Both are RE2-compatible (no lookaround /
+    * backreferences), so Java regex (Spark) and RE2 (DuckDB) agree on
+    * them. Email mirrors [[graft.detectors.PatternDetectors.emails]]
+    * (reference email_detection.py:120-155 dot-atom) with an inline (?i)
+    * instead of pre-lowercasing, so the ORIGINAL text is scrubbed in
+    * place; phone mirrors PatternDetectors.phones with capture groups
+    * dropped (scrubbing needs only the whole match — the regex itself
+    * already enforces the >= 8-digit national number).
+    */
+  val emailRegex: String =
+    "(?i)" +
+      raw"[a-z0-9!#$$%&'*+/=?^_`{|}~-]+(?:\.[a-z0-9!#$$%&'*+/=?^_`{|}~-]+)*" +
+      raw"@(?:[a-z0-9](?:[a-z0-9-]*[a-z0-9])?\.)+[a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
+  val phoneRegex: String =
+    raw"(?:\+|00)\d{1,3}[\s-]?(?:\d[\s-]?){8,12}\d|\b(?:\d[\s-]?){7,12}\d\b"
+
+  /** PII redaction — the scrub pass every shareable training corpus runs:
+    * emails → `<EMAIL>`, then phone numbers → `<PHONE>` on the
+    * email-scrubbed text (order matters: digits inside an email's local
+    * part must not be double-counted as a phone), plus per-document match
+    * counts. Pure regexp expressions (whole-stage codegen, zero shuffles,
+    * zero UDFs); at 100 TB this is a map-only pass over the corpus.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val emailScrubbed = regexp_replace(col(textCol), emailRegex, "<EMAIL>")
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRegex), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(emailScrubbed, lit(phoneRegex), lit(0))))
+      .withColumn("text_scrubbed",
+        regexp_replace(emailScrubbed, phoneRegex, "<PHONE>"))
+  }
+
   /** Within-document repetition statistics — the Gopher repetition-filter
     * family (Rae et al. 2021, "Scaling Language Models: Methods, Analysis
     * & Insights from Training Gopher", App. A1.1; also the C4 three-

@@ -630,6 +630,25 @@ class OpsSpec extends SparkTestBase {
       L).isEmpty)
   }
 
+  test("pii scrub: emails then phones redacted in place with counts") {
+    val df = Seq(
+      (0L, "Contact Bob.Smith@Example.COM today"), // mixed case, (?i) path
+      (1L, "call +1-555-123-4567 asap"),           // cc + separators
+      (2L, "user123456789@x.com or 1234567"),      // email digits not a
+                                                   // phone; 7 digits short
+      (3L, "id 9876543210 end"),                   // bare 10-digit run
+      (4L, "nothing to see here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "text_scrubbed")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, 1, 0, "Contact <EMAIL> today")))
+    assert(got(1) == ((1L, 0, 1, "call <PHONE> asap")))
+    assert(got(2) == ((2L, 1, 0, "<EMAIL> or 1234567")))
+    assert(got(3) == ((3L, 0, 1, "id <PHONE> end")))
+    assert(got(4) == ((4L, 0, 0, "nothing to see here")))
+  }
+
   test("repetition stats: top-gram multiplicity and repeated-span coverage") {
     val reps = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"), // no repeats
