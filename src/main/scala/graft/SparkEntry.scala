@@ -598,6 +598,35 @@ object SparkEntry {
           col("text_scrubbed"))
         .orderBy("doc_id")
     }),
+    "q_url_filter" -> ((s, d) => {
+      // URL/domain blocklist contract: the corpus has no URLs, so they are
+      // injected deterministically (doc_id%4==0 benign, %4==1 blocked
+      // host, %4==2 two urls incl. port+query, %4==3 clean); the blocklist
+      // gate runs FIRST on the injected text, then the scrub — both
+      // stages replayed identically in DuckDB
+      val w = filter(split(col("text"), " "), x => x =!= "")
+      val benign = concat(lit("https://docs.example.org/"),
+        element_at(w, 1), lit("/"), element_at(w, 2))
+      val injected = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" visit "), benign))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("text"), lit(" from http://spam.bad-site.com/"),
+            element_at(w, 1)))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"), lit(" see http://cdn.example.net:8080/x?q="),
+            element_at(w, 2), lit(" and "), benign))
+        .otherwise(col("text"))
+      val base = table(s, d, "documents").filter(size(w) >= 3)
+        .withColumn("text", injected)
+      TextAnalysis.urlScrub(
+          TextAnalysis.domainBlocklistFilter(base, "text", UrlBlocklist),
+          "text")
+        .select(col("doc_id"),
+          col("n_urls").cast("int").as("n_urls"),
+          array_join(col("domains"), ",").as("domains_s"),
+          col("text_scrubbed"))
+        .orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, d) => {
       // within-doc Gopher repetition rules; dupN=3 is corpus-appropriate
       // (this vocabulary repeats trigrams within docs, never 5-grams)
@@ -637,6 +666,11 @@ object SparkEntry {
   private val DupMinDocs = 2
   private val RepTopN = 2
   private val RepDupN = 3
+
+  /** q_url_filter blocklist — one definition for the Spark query and its
+    * DuckDB oracle generator (the %4==1 injection links the first entry).
+    */
+  private val UrlBlocklist = Seq("spam.bad-site.com", "tracker.ads.net")
 
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
@@ -1132,6 +1166,48 @@ object SparkEntry {
        |  CAST(len(regexp_extract_all(te, $p)) AS INT) AS n_phones,
        |  regexp_replace(te, $p, '<PHONE>', 'g') AS text_scrubbed
        |FROM scrub
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB SQL replaying q_url_filter: the deterministic URL injection,
+    * the blocklist gate, then the scrub — from the same regex/blocklist
+    * literals as the Spark side (see [[piiScrubOracle]] for the RE2
+    * match-extent argument). DuckDB's list_has_any twins Spark's
+    * arrays_overlap; array_to_string twins array_join.
+    */
+  private def urlFilterOracle: String = {
+    def q(re: String) = "'" + re.replace("'", "''") + "'"
+    val u = q(graft.ops.TextAnalysis.urlRegex)
+    val dm = q(graft.ops.TextAnalysis.urlDomainRegex)
+    val bl = UrlBlocklist.map(b => s"'${b.toLowerCase}'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |inj AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN doc_id % 4 = 0 THEN text || ' visit ' ||
+       |        'https://docs.example.org/' || t[1] || '/' || t[2]
+       |      WHEN doc_id % 4 = 1 THEN text ||
+       |        ' from http://spam.bad-site.com/' || t[1]
+       |      WHEN doc_id % 4 = 2 THEN text ||
+       |        ' see http://cdn.example.net:8080/x?q=' || t[2] ||
+       |        ' and ' || 'https://docs.example.org/' || t[1] || '/' || t[2]
+       |      ELSE text END AS text
+       |  FROM toks WHERE len(t) >= 3),
+       |kept AS (
+       |  SELECT doc_id, text FROM inj
+       |  WHERE NOT list_has_any(
+       |    list_transform(regexp_extract_all(text, $dm, 1), x -> lower(x)),
+       |    [$bl]))
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, $u)) AS INT) AS n_urls,
+       |  coalesce(array_to_string(
+       |    list_transform(regexp_extract_all(text, $dm, 1), x -> lower(x)),
+       |    ','), '') AS domains_s,
+       |  regexp_replace(text, $u, '<URL>', 'g') AS text_scrubbed
+       |FROM kept
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -1846,6 +1922,7 @@ object SparkEntry {
     "q_decontaminate" -> decontamOracle(DupWindowTokens, "doc_id % 10 = 7"),
     "q_dup_coverage" -> dupCoverageOracle(DupWindowTokens, DupMinDocs),
     "q_pii_scrub" -> piiScrubOracle,
+    "q_url_filter" -> urlFilterOracle,
     "q_repetition" -> repetitionOracle(RepTopN, RepDupN),
     "q_curation" -> curationOracle(shingleSize = 2, numHashes = 64,
       bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,

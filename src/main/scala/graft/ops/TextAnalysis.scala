@@ -131,6 +131,51 @@ object TextAnalysis {
         regexp_replace(emailScrubbed, phoneRegex, "<PHONE>"))
   }
 
+  /** URL regexes — exposed (not private): SparkEntry generates the DuckDB
+    * q_url_filter oracle from these same literals (see [[emailRegex]] for
+    * the RE2-compatibility argument). [[urlDomainRegex]] is [[urlRegex]]
+    * truncated after the host with the host captured as group 1, so both
+    * engines extract byte-identical substrings; the host class must end
+    * on an alphanumeric, which keeps sentence-trailing dots out of it.
+    */
+  val urlRegex: String =
+    "(?i)" +
+      raw"https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?(?::\d{1,5})?(?:/[^\s]*)?"
+  val urlDomainRegex: String =
+    "(?i)" + raw"https?://([a-z0-9](?:[a-z0-9.-]*[a-z0-9])?)"
+
+  /** URL redaction + host extraction: urls → `<URL>`, plus a per-document
+    * count and the (lowercased, in-order) list of linked hosts — the
+    * columns a blocklist audit or link-graph build reads. Pure regexp
+    * expressions, map-only at any scale (see [[piiScrub]]).
+    */
+  def urlScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(urlRegex), lit(0))))
+      .withColumn("domains",
+        transform(regexp_extract_all(col(textCol), lit(urlDomainRegex),
+          lit(1)), d => lower(d)))
+      .withColumn("text_scrubbed",
+        regexp_replace(col(textCol), urlRegex, "<URL>"))
+
+  /** Domain-blocklist document filter — the C4/RefinedWeb gate: drop every
+    * document that links to a blocked host (exact case-insensitive host
+    * match; subdomain wildcards are the caller's expansion). The blocklist
+    * rides inside the expression as a literal array, so the corpus never
+    * shuffles — a map-only pass at 100 TB. Real-world lists (~1e5 hosts)
+    * still fit a literal/broadcast; beyond that, explode `domains` from
+    * [[urlScrub]] and broadcast-anti-join instead.
+    */
+  def domainBlocklistFilter(df: DataFrame, textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "domainBlocklistFilter: empty blocklist")
+    val hosts = transform(regexp_extract_all(col(textCol),
+      lit(urlDomainRegex), lit(1)), d => lower(d))
+    val bl = array(blocked.map(b =>
+      lit(b.toLowerCase(java.util.Locale.ROOT))): _*)
+    df.filter(!arrays_overlap(hosts, bl))
+  }
+
   /** Within-document repetition statistics — the Gopher repetition-filter
     * family (Rae et al. 2021, "Scaling Language Models: Methods, Analysis
     * & Insights from Training Gopher", App. A1.1; also the C4 three-

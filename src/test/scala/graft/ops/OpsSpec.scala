@@ -649,6 +649,29 @@ class OpsSpec extends SparkTestBase {
     assert(got(4) == ((4L, 0, 0, "nothing to see here")))
   }
 
+  test("url scrub: redaction, host extraction, blocklist filter") {
+    val df = Seq(
+      (0L, "see https://Docs.Example.org/a/b now"),  // mixed-case host
+      (1L, "bad http://spam.bad-site.com/x?y=1 link"),
+      (2L, "two http://cdn.example.net:8080/q and https://ok.org end"),
+      (3L, "no links here"),
+      (4L, "trail https://end.com.")                 // trailing dot not host
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.urlScrub(df, "text")
+      .select("doc_id", "n_urls", "domains", "text_scrubbed")
+      .as[(Long, Int, Seq[String], String)].collect().sortBy(_._1)
+    assert(s(0) == ((0L, 1, Seq("docs.example.org"), "see <URL> now")))
+    assert(s(1) == ((1L, 1, Seq("spam.bad-site.com"), "bad <URL> link")))
+    assert(s(2) == ((2L, 2, Seq("cdn.example.net", "ok.org"),
+      "two <URL> and <URL> end")))
+    assert(s(3) == ((3L, 0, Seq(), "no links here")))
+    assert(s(4) == ((4L, 1, Seq("end.com"), "trail <URL>.")))
+    val kept = TextAnalysis
+      .domainBlocklistFilter(df, "text", Seq("SPAM.bad-site.com"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
   test("repetition stats: top-gram multiplicity and repeated-span coverage") {
     val reps = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"), // no repeats
