@@ -545,6 +545,17 @@ object SparkEntry {
           col("n_dup_tokens"))
         .orderBy("doc_id")
     }),
+    "q_dup_trim" -> ((s, d) => {
+      // the removal half of substring dedup: rewrite each doc with every
+      // cross-doc duplicated window excised; n_dup_tokens must equal
+      // q_dup_coverage's (same covered-position set)
+      Dedup.trimDuplicateSpans(table(s, d, "documents"), "text", "doc_id",
+          windowTokens = DupWindowTokens, minDocs = DupMinDocs)
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          col("n_dup_tokens").cast("int").as("n_dup_tokens"),
+          col("text_trimmed"))
+        .orderBy("doc_id")
+    }),
     "q_dup_substrings_incr" -> ((s, d) => {
       // incremental sweep of the batch (doc_id % 4 = 3, the family
       // convention) against the persisted gram store of everything else;
@@ -627,6 +638,28 @@ object SparkEntry {
           col("text_scrubbed"))
         .orderBy("doc_id")
     }),
+    "q_unigram_lp" -> ((s, d) => {
+      // unigram-LM quality score (the deterministic twin of the CCNet
+      // perplexity filter): lexicon trained on THIS corpus — the one ln()
+      // per vocab entry happens engine-side and is exported as exact
+      // literals for the DuckDB oracle (the IVF-centroid playbook,
+      // guarded: oversized vocab -> no sidecar -> rows-only); document
+      // scoring itself is pure BIGINT arithmetic, so it replays exactly
+      val docs = table(s, d, "documents")
+      val lm = TextAnalysis.unigramLm(docs, "text")
+      val lex = lm.orderBy("token").collect() // vocab-bounded, tiny here
+      val sidecar = java.nio.file.Paths.get(
+        s"/tmp/graft_unigram_${d.replaceAll("[^A-Za-z0-9.]", "_")}.txt")
+      if (lex.nonEmpty && lex.length <= 5000)
+        java.nio.file.Files.write(sidecar,
+          lex.map(r => s"${r.getString(0)}\t${r.getLong(2)}")
+            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else java.nio.file.Files.deleteIfExists(sidecar)
+      TextAnalysis.unigramDocScore(docs, "text", "doc_id", lm, OovNllMicro)
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          col("sum_nll_micro"))
+        .orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, d) => {
       // within-doc Gopher repetition rules; dupN=3 is corpus-appropriate
       // (this vocabulary repeats trigrams within docs, never 5-grams)
@@ -671,6 +704,12 @@ object SparkEntry {
     * DuckDB oracle generator (the %4==1 injection links the first entry).
     */
   private val UrlBlocklist = Seq("spam.bad-site.com", "tracker.ads.net")
+
+  /** q_unigram_lp out-of-vocabulary surprisal (micro-nats; ln p = -20 ≈
+    * p = 2e-9). Never fires in the contract (lexicon trained on the same
+    * corpus) but mirrored in the oracle so the replay is the full op.
+    */
+  private val OovNllMicro = 20000000L
 
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
@@ -1236,6 +1275,36 @@ object SparkEntry {
        |FROM toks t LEFT JOIN percov p USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** DuckDB SQL replaying q_dup_trim: the covered-position set of
+    * [[dupCoverageOracle]] aggregated to a per-doc list (1-based here —
+    * DuckDB list indices — vs Spark's 0-based positions; only counts and
+    * the trimmed string cross engines), then an indexed list_filter drops
+    * covered tokens and array_to_string rebuilds the text — exactly
+    * [[graft.ops.Dedup.trimDuplicateSpans]]' rewrite.
+    */
+  private def dupTrimOracle(l: Int, minDocs: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i, array_to_string(t[i:i+${l - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${l - 1})) AS i
+       |        FROM toks WHERE len(t) >= $l) z),
+       |dup AS (
+       |  SELECT gram FROM wins GROUP BY gram
+       |  HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, w.i + o.p AS pos
+       |  FROM wins w JOIN dup USING (gram), generate_series(0, ${l - 1}) AS o(p)),
+       |percov AS (SELECT doc_id, list(pos) AS cv FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       |  CAST(coalesce(len(p.cv), 0) AS INT) AS n_dup_tokens,
+       |  coalesce(array_to_string(list_filter(t.t,
+       |    (x, i) -> NOT list_contains(coalesce(p.cv, []), i)), ' '), '')
+       |    AS text_trimmed
+       |FROM toks t LEFT JOIN percov p USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   /** DuckDB SQL replaying q_repetition (within-doc Gopher repetition
     * rules): max topN-gram multiplicity per doc, and positions covered by
     * within-doc duplicated dupN-grams — the within-doc twin of
@@ -1725,6 +1794,32 @@ object SparkEntry {
        |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** DuckDB SQL replaying q_unigram_lp from the exported lexicon: the
+    * per-token integer surprisals ride as exact VALUES literals (the ln()
+    * already happened engine-side — [[graft.ops.TextAnalysis.unigramLm]]),
+    * so the document score is a pure BIGINT left-join + SUM in both
+    * engines; OOV mirrors the Spark-side coalesce even though the
+    * contract corpus can never trigger it.
+    */
+  private def unigramOracle(lex: Seq[(String, Long)], oov: Long): String = {
+    val values = lex.map { case (t, n) =>
+      s"('${t.replace("'", "''")}', ${n})" }.mkString(",\n    ")
+    s"""WITH lex(token, nll) AS (VALUES
+       |    $values),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |sc AS (
+       |  SELECT t.doc_id, COUNT(*) AS n,
+       |    CAST(SUM(coalesce(l.nll, $oov)) AS BIGINT) AS s
+       |  FROM toks t LEFT JOIN lex l USING (token) GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS INT) AS n_tokens,
+       |  CAST(coalesce(sc.s, 0) AS BIGINT) AS sum_nll_micro
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracles for a specific sf dir: the static map plus data-dependent
     * entries whose parameters are exported by the matching contract query
     * (q_ivf_ann's trained centroids). Verify calls this AFTER running the
@@ -1760,7 +1855,22 @@ object SparkEntry {
         Map("q_bm25_fuzzy" -> bm25FuzzyStdOracle(sm, qStems, k1 = 1.2)) ++
           entityDetectOracle(sm).map("q_entity_detect" -> _).toMap
       }
-    staticOracleSql ++ ivf ++ fuzzyStd
+    // q_unigram_lp: lexicon exported by the contract query from THIS sf
+    // dir's corpus; absent (oversized vocab or query skipped) -> entry
+    // omitted -> rows-only, not a false mismatch
+    val uniSidecar = java.nio.file.Paths.get(
+      s"/tmp/graft_unigram_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.txt")
+    val uni: Map[String, String] =
+      if (!java.nio.file.Files.exists(uniSidecar)) Map.empty
+      else {
+        val lex = new String(java.nio.file.Files.readAllBytes(uniSidecar),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+          .map { l => val i = l.indexOf('\t')
+            (l.substring(0, i), l.substring(i + 1).toLong) }
+        Map("q_unigram_lp" -> unigramOracle(lex, OovNllMicro))
+      }
+    staticOracleSql ++ ivf ++ fuzzyStd ++ uni
   }
 
   /** DuckDB oracles (driver contract). Tables are registered under their
@@ -1921,6 +2031,7 @@ object SparkEntry {
       DupMinDocs, "doc_id % 4 = 3"),
     "q_decontaminate" -> decontamOracle(DupWindowTokens, "doc_id % 10 = 7"),
     "q_dup_coverage" -> dupCoverageOracle(DupWindowTokens, DupMinDocs),
+    "q_dup_trim" -> dupTrimOracle(DupWindowTokens, DupMinDocs),
     "q_pii_scrub" -> piiScrubOracle,
     "q_url_filter" -> urlFilterOracle,
     "q_repetition" -> repetitionOracle(RepTopN, RepDupN),

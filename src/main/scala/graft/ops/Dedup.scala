@@ -773,6 +773,48 @@ object Dedup {
         coalesce(col("n_dup_tokens"), lit(0)).as("n_dup_tokens"))
   }
 
+  /** Rewrite each document with every cross-document duplicated L-token
+    * window excised — the REMOVAL half of substring-level dedup (Lee et
+    * al. 2022 delete the duplicated span and keep the remainder; dropping
+    * whole documents over-deletes when the duplication is boilerplate
+    * inside otherwise-unique text). A token survives iff no duplicated
+    * window ([[duplicateSubstrings]]) covers its position; `text_trimmed`
+    * is the survivors joined by single spaces (whitespace normalization
+    * is inherent — positions index the tokenized form). Output
+    * `(doc_id, n_tokens, n_dup_tokens, text_trimmed)`; n_dup_tokens
+    * matches [[duplicateSpanCoverage]] exactly, so trim-vs-score stays
+    * consistent.
+    *
+    * Shape: covered positions aggregate to one per-doc int array
+    * (bounded by doc length), which joins back by id — only CONTAMINATED
+    * documents appear on that side, so at web scale (duplication is the
+    * exception) AQE broadcasts it and the corpus text never shuffles.
+    * The positional filter is an array_contains per token; fine while
+    * covered arrays are doc-bounded (they are, by construction).
+    */
+  def trimDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val wins = tokenWindowRows(df, textCol, idCol, windowTokens)
+    val dupGrams =
+      duplicateSubstrings(df, textCol, idCol, windowTokens, minDocs)
+        .select("gram")
+    val covered = wins.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"),
+          col("pos") + lit(windowTokens - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_set(col("p")).as("covered"))
+    val toks = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("covered"), lit(Array.empty[Int])))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("cov")).as("n_dup_tokens"),
+        array_join(filter(col("toks"),
+          (x, i) => !array_contains(col("cov"), i)), " ").as("text_trimmed"))
+  }
+
   /** JVM SimHash kernel: 64-bit, per-occurrence bit-majority vote over
     * nonempty whitespace tokens, token hash = md5-lower-64. ONE pass over
     * the tokens computing all 64 votes (round 1 shipped 64 aggregate()

@@ -176,6 +176,59 @@ object TextAnalysis {
     df.filter(!arrays_overlap(hosts, bl))
   }
 
+  /** Corpus unigram language model with integer-scaled surprisals — the
+    * deterministic stand-in for the LM-perplexity quality filter every
+    * large pipeline runs (CCNet, Wenzek et al. 2020, scores documents by
+    * KenLM perplexity; FineWeb and Dolma keep the same shape). Output one
+    * row per distinct whitespace token: `(token, n_occ, nll_micro)` where
+    * nll_micro = round(-1e6 * ln(n_occ / total_tokens)) — a BIGINT, so
+    * document scores built from it aggregate exactly in any engine (the
+    * one ln() per vocab entry happens HERE, once; doc scoring is pure
+    * integer math — the no-raw-float-aggregation rule).
+    *
+    * 100-TB shape: one (token, 1) shuffle with map-side combine — the
+    * word-count plan — then a broadcast of the 1-row total. The lexicon
+    * (vocab-sized, zipf-bounded) is the only materialized state.
+    */
+  def unigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        x => x =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+    val total = counts.agg(sum("n_occ").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("token"), col("n_occ"),
+        round(log(col("n_occ").cast("double") / col("total"))
+          * lit(-1e6), 0).cast("long").as("nll_micro"))
+  }
+
+  /** Per-document unigram negative log-likelihood against a [[unigramLm]]
+    * lexicon: `(doc_id, n_tokens, sum_nll_micro)` — the caller divides for
+    * the per-token mean (perplexity rank) and thresholds; both columns
+    * integral so the score replays exactly cross-engine. Unknown tokens
+    * cost `oovNllMicro` (suggested: round(1e6 * ln(total_tokens)), i.e.
+    * probability 1/total). Documents with no tokens score (0, 0).
+    *
+    * 100-TB shape: tokens join the lexicon by token — broadcast when the
+    * vocab fits (typical), else a shuffle join where stopword skew is
+    * AQE's skew-join case — then one (id, long) aggregation; the document
+    * text itself never shuffles.
+    */
+  def unigramDocScore(df: DataFrame, textCol: String, idCol: String,
+      lm: DataFrame, oovNllMicro: Long): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(filter(split(col(textCol), "\\s+"), x => x =!= "")).as("token"))
+    val scored = toks
+      .join(lm.select(col("token"), col("nll_micro")), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("nll_micro"), lit(oovNllMicro))).as("sum_nll_micro"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_nll_micro"), lit(0L)).as("sum_nll_micro"))
+  }
+
   /** Within-document repetition statistics — the Gopher repetition-filter
     * family (Rae et al. 2021, "Scaling Language Models: Methods, Analysis
     * & Insights from Training Gopher", App. A1.1; also the C4 three-

@@ -585,6 +585,26 @@ class OpsSpec extends SparkTestBase {
     assert(got.values.forall { case (n, d) => d >= 0 && d <= n })
   }
 
+  test("trim duplicate spans: covered tokens excised, counts match coverage") {
+    // same L=4/minDocs=2 hand-worked fixture as the coverage test: only
+    // doc 1's trailing 'cat', doc 5's trailing 'extras' and all of doc 4
+    // survive the rewrite
+    val got = Dedup.trimDuplicateSpans(docs, "text", "doc_id",
+        windowTokens = 4, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      0L -> ((9, 9, "")), 1L -> ((9, 8, "cat")), 2L -> ((9, 9, "")),
+      3L -> ((7, 7, "")),
+      4L -> ((6, 0, "completely different content about posting lists")),
+      5L -> ((8, 7, "extras"))))
+    // n_dup_tokens must equal duplicateSpanCoverage's (shared position set)
+    val cov = Dedup.duplicateSpanCoverage(docs, "text", "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got.view.mapValues(_._2).toMap == cov)
+  }
+
   test("incremental duplicate substrings equal full run on batch grams") {
     val L = 4
     val batch = docs.filter($"doc_id" % 2 === 1) // 1, 3, 5
@@ -670,6 +690,33 @@ class OpsSpec extends SparkTestBase {
       .domainBlocklistFilter(df, "text", Seq("SPAM.bad-site.com"))
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("unigram LM: integer surprisals and exact document scores") {
+    val corpus = Seq(
+      (0L, "a a a b"),
+      (1L, "b c"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    // counts: a=3 b=2 c=1, total=6
+    val lm = TextAnalysis.unigramLm(corpus, "text")
+    val lex = lm.as[(String, Long, Long)].collect().sortBy(_._1)
+    def nll(c: Long) = math.round(-1e6 * math.log(c / 6.0))
+    assert(lex.toSeq == Seq(("a", 3L, nll(3)), ("b", 2L, nll(2)),
+      ("c", 1L, nll(1))))
+    val got = TextAnalysis.unigramDocScore(corpus, "text", "doc_id", lm,
+        oovNllMicro = 999L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 4L, 3 * nll(3) + nll(2)),
+      (1L, 2L, nll(2) + nll(1)),
+      (2L, 0L, 0L))) // tokenless doc scores (0, 0), not dropped
+    // OOV tokens cost the penalty (scoring a held-out doc)
+    val oov = TextAnalysis.unigramDocScore(
+        Seq((9L, "a zzz")).toDF("doc_id", "text"), "text", "doc_id", lm,
+        oovNllMicro = 999L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(oov == Seq((9L, 2L, nll(3) + 999L)))
   }
 
   test("repetition stats: top-gram multiplicity and repeated-span coverage") {
