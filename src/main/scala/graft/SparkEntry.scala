@@ -511,6 +511,25 @@ object SparkEntry {
         .select("doc_id", "lang_pred", "split")
         .orderBy("doc_id")
     }),
+    "q_curation_lm" -> ((s, d) => {
+      // q_curation_rep plus the unigram-LM quality gate (CCNet perplexity
+      // stage): cap 3.41 mean micro-nats/token — ~p90 of the corpus
+      // distribution at every sf, so the gate genuinely rejects docs.
+      // Oracle lexicon comes from the q_unigram_lp sidecar (same corpus,
+      // same training) via oracleSqlFor.
+      import graft.ops.Curation
+      Curation.curate(table(s, d, "documents"), "text", "doc_id",
+          Curation.Config(shingleSize = 2, numHashes = 64, bands = 16,
+            minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+            minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+            fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
+            maxRepSpanPct = Some(5),
+            lmMaxMeanNllMicro = Some(LmCapMicro),
+            lmOovNllMicro = OovNllMicro))
+        .select("doc_id", "lang_pred", "split")
+        .orderBy("doc_id")
+    }),
     "q_langid" -> ((s, d) => {
       TextAnalysis.langId(table(s, d, "documents"), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
@@ -710,6 +729,12 @@ object SparkEntry {
     * corpus) but mirrored in the oracle so the replay is the full op.
     */
   private val OovNllMicro = 20000000L
+
+  /** q_curation_lm mean-surprisal cap (micro-nats/token): ~p90 of the
+    * per-doc mean at sf0.001/0.01/0.1 (median ~3.40e6, max ~4.0e6), so
+    * the LM gate rejects ~10% of documents at every test scale.
+    */
+  private val LmCapMicro = 3410000L
 
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
@@ -1425,7 +1450,8 @@ object SparkEntry {
       minQuality: Double, keepLangs: Seq[String], splitSeed: String,
       fractions: Seq[(String, Double)], repTopN: Int = 2, repDupN: Int = 5,
       maxTopGramPct: Option[Int] = None,
-      maxRepSpanPct: Option[Int] = None): String = {
+      maxRepSpanPct: Option[Int] = None,
+      lmGate: Option[(Seq[(String, Long)], Long, Long)] = None): String = {
     val stopList = graft.ops.TextAnalysis.stopwords
       .map(s => s"'$s'").mkString(", ")
     val langsIn = keepLangs.map(l => s"'$l'").mkString(", ")
@@ -1461,6 +1487,34 @@ object SparkEntry {
            |  FROM rtoks t LEFT JOIN rtopc p USING (doc_id)
            |  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM rcov GROUP BY doc_id) r USING (doc_id)),
            |""".stripMargin
+    // unigram-LM gate (Curation.Config.lmMaxMeanNllMicro): lexicon rides
+    // as exact VALUES literals (engine-exported sidecar, the
+    // unigramOracle playbook — trained on the FULL input corpus, hence
+    // FROM documents, not surv); the cap comparison is BIGINT-only
+    val lmCtes = lmGate.map { case (lex, oov, _) =>
+      val values = lex.map { case (t, n) =>
+        s"('${t.replace("'", "''")}', ${n})" }.mkString(",\n    ")
+      s"""ulex(token, nll) AS (VALUES
+         |    $values),
+         |ultk AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+         |  FROM documents),
+         |usc AS (
+         |  SELECT t.doc_id, COUNT(*) AS n,
+         |    CAST(SUM(coalesce(l.nll, $oov)) AS BIGINT) AS s
+         |  FROM ultk t LEFT JOIN ulex l USING (token) GROUP BY t.doc_id),
+         |ulm AS (
+         |  SELECT d.doc_id, CAST(coalesce(usc.n, 0) AS BIGINT) AS n,
+         |    CAST(coalesce(usc.s, 0) AS BIGINT) AS s
+         |  FROM documents d LEFT JOIN usc USING (doc_id)),
+         |""".stripMargin
+    }.getOrElse("")
+    val lmJoin =
+      if (lmCtes.isEmpty) ""
+      else "\n  JOIN ulm ul ON ul.doc_id = s.doc_id"
+    val lmPred = lmGate.map { case (_, _, cap) =>
+      s"\n    AND ul.s <= $cap * ul.n" }.getOrElse("")
     val repJoin =
       if (repCtes.isEmpty) ""
       else "\n  JOIN rstat rs ON rs.doc_id = s.doc_id"
@@ -1507,12 +1561,12 @@ object SparkEntry {
        |       + 0.1 * (1.0 - least((CASE WHEN nc > 0
        |          THEN np::DOUBLE / nc ELSE 0.0 END) * 5, 1.0))), 6) AS quality
        |  FROM qtk),
-       |$repCtes${langPredCtes("surv")},
+       |$repCtes$lmCtes${langPredCtes("surv")},
        |gated AS (
        |  SELECT s.doc_id FROM surv s
        |  JOIN qual q ON q.doc_id = s.doc_id
-       |  JOIN lpred l ON l.doc_id = s.doc_id$repJoin
-       |  WHERE q.quality >= $minQuality AND l.lang_pred IN ($langsIn)$repPred)
+       |  JOIN lpred l ON l.doc_id = s.doc_id$repJoin$lmJoin
+       |  WHERE q.quality >= $minQuality AND l.lang_pred IN ($langsIn)$repPred$lmPred)
        |SELECT g.doc_id, l.lang_pred, sp.split
        |FROM gated g JOIN lpred l ON l.doc_id = g.doc_id
        |JOIN (${splitSelect(splitSeed, fractions, "gated")}) sp
@@ -1868,7 +1922,17 @@ object SparkEntry {
           .split("\n").toSeq.filter(_.nonEmpty)
           .map { l => val i = l.indexOf('\t')
             (l.substring(0, i), l.substring(i + 1).toLong) }
-        Map("q_unigram_lp" -> unigramOracle(lex, OovNllMicro))
+        // q_curation_lm shares the same full-corpus lexicon (Curation
+        // trains on the original input = the documents table)
+        Map(
+          "q_unigram_lp" -> unigramOracle(lex, OovNllMicro),
+          "q_curation_lm" -> curationOracle(shingleSize = 2, numHashes = 64,
+            bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+            minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+            fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
+            maxRepSpanPct = Some(5),
+            lmGate = Some((lex, OovNllMicro, LmCapMicro))))
       }
     staticOracleSql ++ ivf ++ fuzzyStd ++ uni
   }

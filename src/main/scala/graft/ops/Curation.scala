@@ -41,6 +41,12 @@ object Curation {
     * Percent thresholds are INTEGERS and the comparison is integer-only
     * (count*100 <= pct*denominator) so the gate replays bit-exactly in any
     * engine — no cross-engine float comparison.
+    *
+    * `lmMaxMeanNllMicro` enables the unigram-LM quality gate (the CCNet
+    * perplexity stage, [[TextAnalysis.unigramLm]]): reject a document
+    * whose mean token surprisal exceeds the cap (micro-nats/token),
+    * compared as `sum_nll_micro <= cap * n_tokens` — BIGINT-only, so it
+    * too replays exactly. The lexicon trains on the original input.
     */
   final case class Config(
       shingleSize: Int = 3,
@@ -58,7 +64,9 @@ object Curation {
       repTopN: Int = 2,
       repDupN: Int = 5,
       maxTopGramPct: Option[Int] = None,
-      maxRepSpanPct: Option[Int] = None)
+      maxRepSpanPct: Option[Int] = None,
+      lmMaxMeanNllMicro: Option[Long] = None,
+      lmOovNllMicro: Long = 20000000L)
 
   def curate(df: DataFrame, textCol: String, idCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -93,6 +101,22 @@ object Curation {
         gated.withColumn("_rep", u(col(textCol)))
           .filter(topOk && repOk).drop("_rep")
       }
-    Sampling.split(repGated, col(idCol), cfg.splitSeed, cfg.fractions)
+    val lmGated = cfg.lmMaxMeanNllMicro match {
+      case None => repGated
+      case Some(cap) =>
+        // unigram-LM quality gate (the CCNet-perplexity stage): lexicon
+        // trained on the ORIGINAL input corpus (stable w.r.t. upstream
+        // gates — the oracle replays it from the full-corpus sidecar);
+        // mean-surprisal cap as a pure BIGINT comparison, exact in any
+        // engine. Scoring the full input and semi-joining keeps the
+        // already-gated rows as the only text in flight.
+        val lm = TextAnalysis.unigramLm(df, textCol)
+        val ok = TextAnalysis
+          .unigramDocScore(df, textCol, idCol, lm, cfg.lmOovNllMicro)
+          .filter(col("sum_nll_micro") <= lit(cap) * col("n_tokens"))
+          .select(col("doc_id").as(idCol))
+        repGated.join(ok, Seq(idCol), "left_semi")
+    }
+    Sampling.split(lmGated, col(idCol), cfg.splitSeed, cfg.fractions)
   }
 }

@@ -236,6 +236,41 @@ object StreamingDedup {
       "left_anti"), s"$outDir/clean", batchId)
   }
 
+  /** Unigram-LM quality gate on a stream — the 6th gate family member,
+    * stateless like [[decontaminationGate]]: each micro-batch is scored
+    * against a FROZEN lexicon ([[graft.ops.TextAnalysis.unigramLm]],
+    * trained offline on a reference corpus — the CCNet deployment shape:
+    * the LM is a fixed artifact, documents flow past it) and split into
+    * `pass`/`fail` partitions on the mean-surprisal cap. A document's
+    * score depends only on its own tokens and the frozen lexicon, so the
+    * per-batch union equals the full batch-mode run exactly and a
+    * crash-replayed batch overwrites its own partition idempotently.
+    */
+  def unigramQualityGate(docs: DataFrame, lexicon: DataFrame,
+      textCol: String, idCol: String, outDir: String, checkpointDir: String,
+      maxMeanNllMicro: Long, oovNllMicro: Long): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        unigramQualityGateBatch(batch, batchId, lexicon, textCol, idCol,
+          outDir, maxMeanNllMicro, oovNllMicro)
+      }
+      .start()
+
+  /** One micro-batch of [[unigramQualityGate]]. Idempotent per batchId. */
+  def unigramQualityGateBatch(batch: DataFrame, batchId: Long,
+      lexicon: DataFrame, textCol: String, idCol: String, outDir: String,
+      maxMeanNllMicro: Long, oovNllMicro: Long): Unit = {
+    val b = batch.select(col(idCol), col(textCol))
+    val scored = graft.ops.TextAnalysis.unigramDocScore(b, textCol, idCol,
+      lexicon, oovNllMicro)
+    val ok = scored
+      .filter(col("sum_nll_micro") <= lit(maxMeanNllMicro) * col("n_tokens"))
+      .select(col("doc_id").as(idCol))
+    writeBatch(b.join(ok, Seq(idCol), "left_semi"), s"$outDir/pass", batchId)
+    writeBatch(b.join(ok, Seq(idCol), "left_anti"), s"$outDir/fail", batchId)
+  }
+
   /** Landed state under `dir` excluding the current batchId's partition —
     * a crash-replayed batch must not sweep against its own half-landed
     * remains (partition-pruned); `template.limit(0)` supplies the schema

@@ -236,6 +236,32 @@ class OpsSpec extends SparkTestBase {
       maxRepSpanPct = Some(5))) == Set(0L))
   }
 
+  test("curation unigram-LM gate drops the rare-token doc the others pass") {
+    // three docs share their content vocabulary (low surprisal); the
+    // victim is all hapax words — every other gate passes it (English,
+    // good quality, no dup), only the LM gate sees it
+    val a = "the stream parser reads tokens and emits the tree in order now"
+    val b = "a parser emits tokens and the stream reads the tree in order"
+    val c = "the tree parser and stream tokens in order emits a reads next"
+    val victim = "the quixotic zephyr and vellum gargoyle of onyx " +
+      "labyrinth to cobalt meridian whispers"
+    val corpus = Seq((0L, a), (1L, b), (2L, c), (3L, victim))
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.unigramLm(corpus, "text")
+    val means = TextAnalysis
+      .unigramDocScore(corpus, "text", "doc_id", lm, 999L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => (id, s / n) }.toMap
+    assert(means(3L) > Seq(0L, 1L, 2L).map(means).max)
+    val cap = (means(3L) + Seq(0L, 1L, 2L).map(means).max) / 2
+    def kept(cfg: Curation.Config): Set[Long] =
+      Curation.curate(corpus, "text", "doc_id", cfg)
+        .select("doc_id").as[Long].collect().toSet
+    val base = Curation.Config()
+    assert(kept(base) == Set(0L, 1L, 2L, 3L)) // gate off: victim passes
+    assert(kept(base.copy(lmMaxMeanNllMicro = Some(cap))) == Set(0L, 1L, 2L))
+  }
+
   test("incremental exact dedup: first-wins across batches and in-batch") {
     val b1 = Seq((0L, "aa"), (1L, "bb"), (2L, "aa")).toDF("doc_id", "text")
     val s1 = Dedup.exactIncremental(b1, b1.limit(0)

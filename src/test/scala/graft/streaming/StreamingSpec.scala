@@ -252,6 +252,47 @@ class StreamingSpec extends SparkTestBase {
       .collect().toSet == fullClean)
   }
 
+  test("unigram quality gate: per-batch union equals the full batch run") {
+    import graft.ops.TextAnalysis
+    val out = tmpDir("graft-unigate-out")
+    val ckpt = tmpDir("graft-unigate-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    // frozen lexicon trained offline on a reference corpus (the CCNet
+    // deployment shape); streamed docs score against it, OOV costs 5e6
+    val ref = Seq((100L, "the parser reads the stream and emits the tree"))
+      .toDF("doc_id", "text")
+    val lex = TextAnalysis.unigramLm(ref, "text")
+    val all = Seq(
+      (0L, "the parser emits the tree"),     // in-vocab, low surprisal
+      (1L, "zz qq ww rr tt"),                // all OOV -> fails
+      (2L, "the stream and the parser"),     // in-vocab, low surprisal
+      (3L, "the zz qq ww rr"))               // mostly OOV -> fails
+    val cap = 4000000L // in-vocab means land well under 4.0 mean micro-nats
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDedup.unigramQualityGate(stream.toDF()
+      .toDF("doc_id", "text"), lex, "text", "doc_id", out, ckpt,
+      maxMeanNllMicro = cap, oovNllMicro = 5000000L)
+    stream.addData(all.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(all.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    def ids(dir: String): Set[Long] = spark.read.parquet(s"$out/$dir")
+      .select("doc_id").as[Long].collect().toSet
+    // batch-mode twin over the union: identical split
+    val full = TextAnalysis.unigramDocScore(all.toDF("doc_id", "text"),
+        "text", "doc_id", lex, 5000000L)
+      .filter($"sum_nll_micro" <= $"n_tokens" * cap)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full == Set(0L, 2L))
+    assert(ids("pass") == full && ids("fail") == Set(1L, 3L))
+    // crash-replay idempotency: re-running the last batch overwrites its
+    // own partitions; converged output unchanged
+    StreamingDedup.unigramQualityGateBatch(all.drop(2).toDF("doc_id",
+      "text"), 1L, lex, "text", "doc_id", out, cap, 5000000L)
+    assert(ids("pass") == full && ids("fail") == Set(1L, 3L))
+  }
+
   test("embedding streaming sweep telescopes to the full batch run") {
     import graft.ops.Dedup
     val state = tmpDir("graft-emsweep-state")
