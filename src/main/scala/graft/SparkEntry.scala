@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexConfig, Snapshot}
-import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import graft.query.Searcher
 
 /** Shared implementations behind the driver-contract queries. */
@@ -210,6 +210,22 @@ object SparkEntry {
             .as("n_stop"),
           length(col("text")).as("len_chars"))
         .orderBy("doc_id")
+    }),
+    "q_pack" -> ((s, d) => {
+      // GPT-style sequence packing: which 128-token training sequence
+      // does each doc start in when the corpus is concatenated in doc_id
+      // order. Exact two-level prefix-sum scan — see Packing.packSequences
+      Packing.packSequences(table(s, d, "documents"), "text", "doc_id",
+          seqLen = PackSeqLen)
+        .orderBy("doc_id")
+    }),
+    "q_chunks" -> ((s, d) => {
+      // overlapping fixed-size token windows (context-window / retrieval
+      // chunking): 32-token chunks at stride 24 -> 1..4 chunks per doc
+      // on this corpus (10..100 tokens), with 8-token overlaps exercised
+      Packing.tokenChunks(table(s, d, "documents"), "text", "doc_id",
+          chunkSize = ChunkSize, stride = ChunkStride)
+        .orderBy("doc_id", "chunk_id")
     }),
     "q_quality_class" -> ((s, d) => {
       table(s, d, "documents")
@@ -735,6 +751,16 @@ object SparkEntry {
     * the LM gate rejects ~10% of documents at every test scale.
     */
   private val LmCapMicro = 3410000L
+
+  /** q_pack / q_chunks layout constants — one definition for the Spark
+    * queries and their DuckDB oracle SQL, so they cannot drift. seqLen
+    * 128 packs ~2 docs per training sequence on this corpus (median 56
+    * tokens); chunkSize 32 / stride 24 yields 1..4 overlapping chunks
+    * per doc.
+    */
+  private val PackSeqLen = 128L
+  private val ChunkSize = 32
+  private val ChunkStride = 24
 
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
@@ -2012,6 +2038,40 @@ object SparkEntry {
         |    x -> x IN ('the','a','an','and','or','of'))) AS INT) AS n_stop,
         |  CAST(length(text) AS INT) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text,' '),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_before
+        |  FROM n)
+        |SELECT doc_id, n_tokens, tok_before,
+        |  tok_before // $PackSeqLen AS seq_id,
+        |  tok_before % $PackSeqLen AS seq_off
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_chunks" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |  FROM t WHERE len(toks) > 0),
+        |g AS (
+        |  SELECT doc_id, toks, n, unnest(generate_series(0,
+        |    CASE WHEN n <= $ChunkSize THEN 0
+        |         ELSE ((n - $ChunkSize + $ChunkStride - 1) // $ChunkStride)
+        |           * $ChunkStride END, $ChunkStride)) AS start
+        |  FROM s)
+        |SELECT doc_id, start // $ChunkStride AS chunk_id,
+        |  CAST(len(list_slice(toks, start + 1, least(start + $ChunkSize, n)))
+        |    AS INT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, start + 1,
+        |    least(start + $ChunkSize, n)), ' ') AS chunk_text
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
     "q_quality_class" ->
       """SELECT lang,
         |  CASE WHEN n_chars < 150 THEN 'short'

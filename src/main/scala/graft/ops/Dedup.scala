@@ -67,7 +67,7 @@ object Dedup {
     * lossy cast (string UUIDs, decimals) would null out and silently DROP
     * rows instead of failing — so fail fast here.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String,
+  private[ops] def requireIntegralId(df: DataFrame, idCol: String,
       op: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and token chunking — the two layout operators an LLM
+  * training-data pipeline runs after curation: pack documents into
+  * fixed-token-budget training sequences (the GPT-style
+  * concatenate-then-chunk shape) and cut long documents into overlapping
+  * fixed-size token windows (the context-window / retrieval-chunk shape).
+  *
+  * Both are BIGINT-only arithmetic over whitespace tokens, so any engine
+  * replays them bit-exactly (the driver's DuckDB oracle does).
+  */
+object Packing {
+
+  /** Whitespace tokens (single-space split, nonempty) — the token
+    * definition the DuckDB oracle replays with
+    * `list_filter(string_split(text,' '), x -> x <> '')`.
+    */
+  private def wsTokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Assign every document the training sequence it STARTS in when the
+    * corpus is concatenated in `idCol` order and cut into `seqLen`-token
+    * sequences. Output per input row:
+    *
+    *   (idCol, n_tokens, tok_before, seq_id, seq_off)
+    *
+    * where `tok_before` is the EXACT count of tokens preceding the
+    * document in the global concatenation, `seq_id = tok_before div
+    * seqLen` and `seq_off = tok_before % seqLen`. All BIGINT — exact in
+    * any engine, any parallelism.
+    *
+    * 100-TB shape: the global prefix sum is a TWO-LEVEL SCAN, never a
+    * single-partition window. Documents are bucketed by an id-derived
+    * range (`(id - min) div width` — a pure function of the id, so
+    * bucketing can never drift between jobs), per-bucket token sums are
+    * collected (`numRanges` rows — tiny) and folded into per-bucket
+    * offsets broadcast back as a literal map; the within-bucket cumsum is
+    * a window partitioned by bucket. Only (id, n_tokens) shuffles — text
+    * never moves. Output is invariant to `numRanges` and to the input's
+    * partitioning: bucket boundaries move work, never results.
+    *
+    * Requires an integral id column (same contract and fail-fast guard
+    * as [[Dedup]]'s id-keyed ops; null ids additionally rejected at run
+    * time — a null has no position in the concatenation order). Uniform
+    * id-range buckets assume roughly dense ids; for sparse/clustered id
+    * spaces raise `numRanges` or pre-densify ids.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      seqLen: Long, numRanges: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(numRanges > 0, "numRanges must be positive")
+    Dedup.requireIntegralId(df, idCol, "packSequences")
+    val counted = df.select(col(idCol).cast("long").as("_id"),
+      size(wsTokens(col(textCol))).cast("long").as("n_tokens"))
+    val Array(minId, maxId, nRows, nIds) = counted.agg(
+        min("_id"), max("_id"), count(lit(1)), count(col("_id")))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => Array(0L, 0L, r.getLong(2), r.getLong(3))
+        case r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    require(nRows == nIds,
+      s"packSequences requires non-null ids: ${nRows - nIds} of $nRows " +
+        s"rows have a null '$idCol' (no position in concatenation order)")
+    if (nRows == 0L)
+      return counted.select(col("_id").as(idCol), col("n_tokens"),
+        col("n_tokens").as("tok_before"), col("n_tokens").as("seq_id"),
+        col("n_tokens").as("seq_off"))
+    val width = math.max(1L, (maxId - minId) / numRanges + 1L)
+    val bucketed = counted.withColumn("_bkt",
+      ((col("_id") - lit(minId)) / lit(width)).cast("long"))
+    // per-bucket totals: map-side partial agg -> <= numRanges rows
+    val sums = bucketed.groupBy("_bkt").agg(sum("n_tokens").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.scanLeft((-1L, 0L)) {
+      case ((_, acc), (b, s)) => (b, acc + s)
+    }.sliding(2).map { case Array((_, off), (b, _)) => (b, off) }.toMap
+    val offCol = element_at(
+      typedLit(offsets), col("_bkt")) // literal map: no second shuffle
+    val w = Window.partitionBy("_bkt").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("tok_before",
+        offCol + coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("_id").as(idCol), col("n_tokens"), col("tok_before"),
+        expr(s"tok_before div ${seqLen}L").as("seq_id"),
+        (col("tok_before") % lit(seqLen)).as("seq_off"))
+  }
+
+  /** Cut each document's token stream into fixed-size windows: starts at
+    * 0, stride, 2*stride, … with the last window the first one whose end
+    * reaches the document's end (so every token is covered and no window
+    * starts past the end; `stride < chunkSize` gives overlapping
+    * windows). Documents with zero tokens produce zero rows. Output:
+    *
+    *   (idCol, chunk_id, n_chunk_tokens, chunk_text)
+    *
+    * Map-only, expression-only (split/sequence/explode/slice — all
+    * codegen'd): no shuffle, trivially parallel at any scale.
+    */
+  def tokenChunks(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      "stride must be in [1, chunkSize]")
+    val withT = df
+      .select(col(idCol), wsTokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .filter(col("_n") > 0)
+    val lastStart = when(col("_n") <= chunkSize, lit(0L)).otherwise(
+      expr(s"((_n - $chunkSize + $stride - 1) div $stride) * ${stride}L"))
+    val chunk = slice(col("_toks"), (col("_start") + 1).cast("int"),
+      lit(chunkSize))
+    withT
+      .withColumn("_start",
+        explode(sequence(lit(0L), lastStart, lit(stride.toLong))))
+      .select(col(idCol),
+        expr(s"_start div ${stride}L").as("chunk_id"),
+        size(chunk).cast("int").as("n_chunk_tokens"),
+        array_join(chunk, " ").as("chunk_text"))
+  }
+}

@@ -262,6 +262,72 @@ class OpsSpec extends SparkTestBase {
     assert(kept(base.copy(lmMaxMeanNllMicro = Some(cap))) == Set(0L, 1L, 2L))
   }
 
+  test("sequence packing: exact prefix sums, invariant to partitioning") {
+    // sparse non-contiguous ids, reversed input order, varied lengths
+    val rows = (0 until 40).map { i =>
+      (i.toLong * 3 + 1, Seq.fill(i % 7 + 1)("w").mkString(" "))
+    }
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, t)) =>
+        val n = t.split(" ").length.toLong
+        (id, n, cum + n)
+      }.tail
+      .map { case (id, n, cumAfter) =>
+        val before = cumAfter - n
+        (id, n, before, before / 5, before % 5)
+      }
+    def run(df: org.apache.spark.sql.DataFrame, ranges: Int) =
+      Packing.packSequences(df, "text", "doc_id", seqLen = 5L, ranges)
+        .orderBy("doc_id").as[(Long, Long, Long, Long, Long)]
+        .collect().toSeq
+    val base = rows.reverse.toDF("doc_id", "text")
+    assert(run(base, 1) == expected)            // degenerate: one bucket
+    assert(run(base.repartition(7), 5) == expected)
+    assert(run(base.repartition(3), 64) == expected) // ranges > rows
+  }
+
+  test("sequence packing fails fast on non-integral or null ids") {
+    val bad = Seq(("uuid-a", "a b"), ("2", "c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(bad, "text", "doc_id", seqLen = 5L)
+    }
+    assert(e.getMessage.contains("integral id"))
+    val nulls = Seq((java.lang.Long.valueOf(1L), "a b"),
+      (null.asInstanceOf[java.lang.Long], "c")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Packing.packSequences(nulls, "text", "doc_id", seqLen = 5L)
+    }
+    assert(e2.getMessage.contains("non-null ids"))
+  }
+
+  test("token chunks: window starts, overlap, tail, and empty docs") {
+    val in = Seq(
+      (0L, "a b c"),        // n < chunkSize: one whole-doc chunk
+      (1L, "a b c d e"),    // n == chunkSize: exactly one chunk
+      (2L, "a b c d e f"),  // n = 6: starts 0,3 with 2-token overlap
+      (3L, ""),             // empty: zero rows
+      (4L, "a  b")          // double space: two tokens
+    ).toDF("doc_id", "text")
+    val out = Packing.tokenChunks(in, "text", "doc_id",
+        chunkSize = 5, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 3, "a b c"),
+      (1L, 0L, 5, "a b c d e"),
+      (2L, 0L, 5, "a b c d e"),
+      (2L, 1L, 3, "d e f"),
+      (4L, 0L, 2, "a b")))
+    // stride == chunkSize: non-overlapping chunks reconstruct the doc
+    val rec = Packing.tokenChunks(in, "text", "doc_id",
+        chunkSize = 2, stride = 2)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+      .groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._2).map(_._3).mkString(" ") }
+    assert(rec(2L) == "a b c d e f" && rec(4L) == "a b")
+  }
+
   test("incremental exact dedup: first-wins across batches and in-batch") {
     val b1 = Seq((0L, "aa"), (1L, "bb"), (2L, "aa")).toDF("doc_id", "text")
     val s1 = Dedup.exactIncremental(b1, b1.limit(0)
