@@ -219,6 +219,13 @@ object SparkEntry {
           seqLen = PackSeqLen)
         .orderBy("doc_id")
     }),
+    "q_pack_manifest" -> ((s, d) => {
+      // full packing manifest: one row per (doc, sequence it overlaps),
+      // docs straddling a 128-token boundary contribute to BOTH sides
+      Packing.packManifest(table(s, d, "documents"), "text", "doc_id",
+          seqLen = PackSeqLen)
+        .orderBy("doc_id", "seq_id")
+    }),
     "q_chunks" -> ((s, d) => {
       // overlapping fixed-size token windows (context-window / retrieval
       // chunking): 32-token chunks at stride 24 -> 1..4 chunks per doc
@@ -2053,6 +2060,28 @@ object SparkEntry {
         |  tok_before // $PackSeqLen AS seq_id,
         |  tok_before % $PackSeqLen AS seq_off
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pack_manifest" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text,' '),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_before
+        |  FROM n),
+        |g AS (
+        |  SELECT doc_id, n_tokens, tok_before, unnest(generate_series(
+        |    tok_before // $PackSeqLen,
+        |    (tok_before + n_tokens - 1) // $PackSeqLen)) AS seq_id
+        |  FROM c WHERE n_tokens > 0)
+        |SELECT doc_id, seq_id,
+        |  greatest(seq_id * $PackSeqLen - tok_before, 0) AS doc_off,
+        |  greatest(tok_before - seq_id * $PackSeqLen, 0) AS seq_off,
+        |  least(tok_before + n_tokens, (seq_id + 1) * $PackSeqLen)
+        |    - greatest(tok_before, seq_id * $PackSeqLen) AS take_len
+        |FROM g ORDER BY doc_id, seq_id""".stripMargin,
     "q_chunks" ->
       s"""WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks

@@ -52,8 +52,54 @@ object Packing {
   def packSequences(df: DataFrame, textCol: String, idCol: String,
       seqLen: Long, numRanges: Int = 32): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    prefixSums(df, textCol, idCol, numRanges, "packSequences")
+      .select(col("_id").as(idCol), col("n_tokens"), col("tok_before"),
+        expr(s"tok_before div ${seqLen}L").as("seq_id"),
+        (col("tok_before") % lit(seqLen)).as("seq_off"))
+  }
+
+  /** The manifest a sequence-packing trainer actually consumes: one row
+    * per (document, training sequence it overlaps), for the same
+    * concatenate-then-chunk layout as [[packSequences]] — a document
+    * whose tokens straddle a `seqLen` boundary contributes a segment to
+    * EACH sequence it covers. Output:
+    *
+    *   (idCol, seq_id, doc_off, seq_off, take_len)
+    *
+    * = "sequence seq_id takes take_len tokens of this document starting
+    * at doc token doc_off, placing them at sequence position seq_off".
+    * Invariants (spec-pinned): per-document take_len sums to the
+    * document's token count; per-sequence take_len sums to seqLen for
+    * every sequence but the last. Zero-token documents contribute no
+    * rows. Same exact two-level prefix-sum scan as [[packSequences]];
+    * the per-covered-sequence fan-out is a map-side sequence+explode.
+    */
+  def packManifest(df: DataFrame, textCol: String, idCol: String,
+      seqLen: Long, numRanges: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val L = lit(seqLen)
+    prefixSums(df, textCol, idCol, numRanges, "packManifest")
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"tok_before div ${seqLen}L"),
+        expr(s"(tok_before + n_tokens - 1) div ${seqLen}L"))))
+      .select(col("_id").as(idCol), col("seq_id"),
+        greatest(col("seq_id") * L - col("tok_before"), lit(0L))
+          .as("doc_off"),
+        greatest(col("tok_before") - col("seq_id") * L, lit(0L))
+          .as("seq_off"),
+        (least(col("tok_before") + col("n_tokens"), (col("seq_id") + 1) * L)
+          - greatest(col("tok_before"), col("seq_id") * L)).as("take_len"))
+  }
+
+  /** Shared prefix-sum core: (_id, n_tokens, tok_before) with tok_before
+    * the exact global prefix sum in id order (see [[packSequences]] for
+    * the two-level scan shape and its guards).
+    */
+  private def prefixSums(df: DataFrame, textCol: String, idCol: String,
+      numRanges: Int, op: String): DataFrame = {
     require(numRanges > 0, "numRanges must be positive")
-    Dedup.requireIntegralId(df, idCol, "packSequences")
+    Dedup.requireIntegralId(df, idCol, op)
     val counted = df.select(col(idCol).cast("long").as("_id"),
       size(wsTokens(col(textCol))).cast("long").as("n_tokens"))
     val Array(minId, maxId, nRows, nIds) = counted.agg(
@@ -63,15 +109,16 @@ object Packing {
         case r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       }
     require(nRows == nIds,
-      s"packSequences requires non-null ids: ${nRows - nIds} of $nRows " +
+      s"$op requires non-null ids: ${nRows - nIds} of $nRows " +
         s"rows have a null '$idCol' (no position in concatenation order)")
     if (nRows == 0L)
-      return counted.select(col("_id").as(idCol), col("n_tokens"),
-        col("n_tokens").as("tok_before"), col("n_tokens").as("seq_id"),
-        col("n_tokens").as("seq_off"))
+      return counted.withColumn("tok_before", col("n_tokens"))
     val width = math.max(1L, (maxId - minId) / numRanges + 1L)
+    // integer `div`, not Column./ (double division truncates fine at test
+    // scale but loses precision past 2^53 — a misbucketed id would break
+    // the bucket/order alignment the prefix sum relies on)
     val bucketed = counted.withColumn("_bkt",
-      ((col("_id") - lit(minId)) / lit(width)).cast("long"))
+      expr(s"(_id - ${minId}L) div ${width}L"))
     // per-bucket totals: map-side partial agg -> <= numRanges rows
     val sums = bucketed.groupBy("_bkt").agg(sum("n_tokens").as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -85,9 +132,7 @@ object Packing {
     bucketed
       .withColumn("tok_before",
         offCol + coalesce(sum("n_tokens").over(w), lit(0L)))
-      .select(col("_id").as(idCol), col("n_tokens"), col("tok_before"),
-        expr(s"tok_before div ${seqLen}L").as("seq_id"),
-        (col("tok_before") % lit(seqLen)).as("seq_off"))
+      .select("_id", "n_tokens", "tok_before")
   }
 
   /** Cut each document's token stream into fixed-size windows: starts at

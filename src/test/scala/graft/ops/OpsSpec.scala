@@ -286,6 +286,51 @@ class OpsSpec extends SparkTestBase {
     assert(run(base.repartition(3), 64) == expected) // ranges > rows
   }
 
+  test("packing manifest tiles every sequence exactly") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong * 3 + 1, Seq.fill(i % 7 + 1)("w").mkString(" "))
+    }
+    val totalTokens = (0 until 40).map(_ % 7 + 1).sum.toLong
+    val m = Packing.packManifest(rows.reverse.toDF("doc_id", "text"),
+        "text", "doc_id", seqLen = 5L, numRanges = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // per-doc segments sum to the doc's token count and start at 0
+    val byDoc = m.groupBy(_._1)
+    assert(byDoc.keySet == rows.map(_._1).toSet) // no empty docs here
+    byDoc.foreach { case (id, segs) =>
+      val n = ((id - 1) / 3 % 7 + 1)
+      assert(segs.map(_._5).sum == n)
+      val sorted = segs.sortBy(_._2)
+      assert(sorted.head._3 == 0L) // doc_off starts at 0
+      // consecutive segments continue where the previous left off
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, d1, _, l1), (_, s2, d2, _, _)) =>
+          assert(s2 == s1 + 1 && d2 == d1 + l1)
+        case _ =>
+      }
+    }
+    // per-sequence segments tile [0, 5) exactly (last may be shorter)
+    val lastSeq = (totalTokens - 1) / 5
+    m.groupBy(_._2).foreach { case (seq, segs) =>
+      val sorted = segs.sortBy(_._4)
+      assert(sorted.head._4 == 0L) // seq_off starts at 0
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, o1, l1), (_, _, _, o2, _)) => assert(o2 == o1 + l1)
+        case _ =>
+      }
+      val len = sorted.map(_._5).sum
+      assert(if (seq == lastSeq) len == (totalTokens - 1) % 5 + 1
+             else len == 5L)
+    }
+    // boundary golden: a 4-token doc entering at seq_off 3 splits 2+2
+    val g = Packing.packManifest(Seq((0L, "a b c"), (1L, "d e f g"))
+        .toDF("doc_id", "text"), "text", "doc_id", seqLen = 5L)
+      .orderBy("doc_id", "seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g == Seq((0L, 0L, 0L, 0L, 3L),
+      (1L, 0L, 0L, 3L, 2L), (1L, 1L, 2L, 0L, 2L)))
+  }
+
   test("sequence packing fails fast on non-integral or null ids") {
     val bad = Seq(("uuid-a", "a b"), ("2", "c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
