@@ -320,35 +320,25 @@ object SparkEntry {
     "q_ivf_ann" -> ((s, d) => {
       // IVF ANN: deterministic k-means coarse quantizer trained once, corpus
       // materialized partitionBy(ivf_cluster), probes scan nprobe clusters
-      import s.implicits._
       val qv = table(s, d, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
-      val ivfDir = s"/tmp/graft_ivf_k16i4_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-      if (!new java.io.File(s"$ivfDir/table", "_SUCCESS").exists()) {
-        val e = table(s, d, "embeddings")
-        val model = Similarity.trainIvf(e, "embedding", "vec_id", k = 16,
-          iters = 4)
-        model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cluster", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$ivfDir/centroids")
-        Similarity.withIvfCluster(e, "embedding", model)
-          .repartition(8, col("ivf_cluster"))
-          .write.mode("overwrite").partitionBy("ivf_cluster")
-          .parquet(s"$ivfDir/table")
-      }
-      val model = Similarity.IvfModel(
-        s.read.parquet(s"$ivfDir/centroids").orderBy("cluster")
-          .select("centroid").as[Seq[Float]].collect().map(_.toArray))
-      // sidecar for the DuckDB oracle: the trained centroids as exact
-      // Float.toString literals (training is parallelism-deterministic, so
-      // these ARE the values the stored table was assigned with);
-      // oracleSqlFor reads this back to generate the replay SQL
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$ivfDir/centroids.txt"),
-        model.centroids.map(_.map(_.toString).mkString(","))
-          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Similarity.ivfKnn(s.read.parquet(s"$ivfDir/table"), "embedding",
-        "vec_id", model, qv, 10, nprobe = 3)
+      val (clustered, model) = ivfTableFor(s, d)
+      Similarity.ivfKnn(clustered, "embedding", "vec_id", model, qv, 10,
+        nprobe = 3)
+    }),
+
+    "q_semdedup" -> ((s, d) => {
+      // SemDeDup: semantic near-dup pairs inside the SAME materialized
+      // partitionBy(ivf_cluster) table IVF ANN probes — one coarse
+      // quantizer serves both; oracle replays assignment from the
+      // exported centroid literals + capped within-cluster pairs + exact
+      // cosine folds
+      val (clustered, _) = ivfTableFor(s, d)
+      Dedup.semanticNearDupPairs(clustered, "embedding", "vec_id",
+          clusterCol = "ivf_cluster", minCosine = 0.3, maxClusterSize = 1024)
+        .select(col("cluster").cast("int").as("cluster"), col("idA"),
+          col("idB"), col("cosine"))
+        .orderBy("idA", "idB")
     }),
 
     "q_entity_detect" -> ((s, d) => {
@@ -440,6 +430,34 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")
         .orderBy("doc_id")
+    }),
+    "q_domain_mix" -> ((s, d) => {
+      // deterministic domain-mixture downsampling to target language
+      // proportions; the computed per-domain keep fractions are
+      // data-dependent (they fold per-domain counts), so the query
+      // exports them as exact Double round-trip literals and oracleSqlFor
+      // replays the per-domain hash cuts from the sidecar (the IVF
+      // centroid playbook)
+      val docs = table(s, d, "documents")
+      val fracs = Sampling.domainMixFractions(docs, col("lang"), MixWeights)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(mixSidecarPath(d)),
+        fracs.toSeq.sorted.map { case (dom, f) => s"$dom\t$f" }
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+          MixSeed, fracs, defaultFraction = 0.0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+    "q_shuffle" -> ((s, d) => {
+      // deterministic global training order: exact rank in (hash, key)
+      // order via the two-level bucketed scan (never a single-partition
+      // window) — replayed by the oracle as one ROW_NUMBER over the same
+      // md5-lower-64 hash
+      Sampling.shuffleRank(table(s, d, "documents"), col("doc_id"),
+          MixSeed, numRanges = 64)
+        .select("doc_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
     }),
     "q_dedup_clusters" -> ((s, d) => {
       // pairs → clusters: connected components over the simhash near-dup
@@ -759,6 +777,42 @@ object SparkEntry {
     */
   private val LmCapMicro = 3410000L
 
+  /** The shared IVF materialization (q_ivf_ann + q_semdedup): a
+    * deterministic k-means coarse quantizer trained once per sf dir, the
+    * embeddings table stored partitionBy(ivf_cluster), and the trained
+    * centroids exported BOTH as parquet (the model reload) and as exact
+    * Float.toString literals (`centroids.txt` — the sidecar oracleSqlFor
+    * reads to generate the DuckDB replay; training is
+    * parallelism-deterministic, so these ARE the values the stored table
+    * was assigned with). Whichever contract query runs first builds it;
+    * the other reuses it — the ONE-table-serves-ANN-and-dedup shape the
+    * Similarity/Dedup scaladocs describe.
+    */
+  private def ivfTableFor(s: SparkSession, d: String): (DataFrame, Similarity.IvfModel) = {
+    import s.implicits._
+    val ivfDir = s"/tmp/graft_ivf_k16i4_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!new java.io.File(s"$ivfDir/table", "_SUCCESS").exists()) {
+      val e = table(s, d, "embeddings")
+      val model = Similarity.trainIvf(e, "embedding", "vec_id", k = 16,
+        iters = 4)
+      model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$ivfDir/centroids")
+      Similarity.withIvfCluster(e, "embedding", model)
+        .repartition(8, col("ivf_cluster"))
+        .write.mode("overwrite").partitionBy("ivf_cluster")
+        .parquet(s"$ivfDir/table")
+    }
+    val model = Similarity.IvfModel(
+      s.read.parquet(s"$ivfDir/centroids").orderBy("cluster")
+        .select("centroid").as[Seq[Float]].collect().map(_.toArray))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ivfDir/centroids.txt"),
+      model.centroids.map(_.map(_.toString).mkString(","))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (s.read.parquet(s"$ivfDir/table"), model)
+  }
+
   /** q_pack / q_chunks layout constants — one definition for the Spark
     * queries and their DuckDB oracle SQL, so they cannot drift. seqLen
     * 128 packs ~2 docs per training sequence on this corpus (median 56
@@ -768,6 +822,21 @@ object SparkEntry {
   private val PackSeqLen = 128L
   private val ChunkSize = 32
   private val ChunkStride = 24
+
+  /** q_domain_mix target mixture over the corpus's 5 languages (en is the
+    * binding domain at every sf — it keeps everything, the rest
+    * downsample toward the target proportions) and the shared
+    * q_domain_mix / q_shuffle hash seed.
+    */
+  private val MixWeights = Map(
+    "en" -> 0.5, "fr" -> 0.2, "de" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+  private val MixSeed = "graft-mix"
+
+  /** q_domain_mix fraction sidecar for `sfDir` (exact Double round-trip
+    * literals; written by the contract query, read by oracleSqlFor).
+    */
+  private def mixSidecarPath(sfDir: String): String =
+    s"/tmp/graft_mix_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.txt"
 
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
@@ -1791,6 +1860,84 @@ object SparkEntry {
        |FROM scored ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** DuckDB SQL replaying q_semdedup from the same exported centroids as
+    * [[ivfOracle]]: identical assignment CTE (FLOAT-subtraction dist2,
+    * argmin with ties to the smaller cluster), the within-cluster width
+    * cap as a COUNT window, within-cluster pairs with idA < idB, exact
+    * cosine with explicit-order folds — the full
+    * Dedup.semanticNearDupPairs pipeline bit-identically.
+    */
+  private def semDedupOracle(centroids: Array[Array[Float]], dim: Int,
+      minCosine: Double, maxClusterSize: Int): String = {
+    val fold = SrpSql.fold(dim) _
+    val centRows = centroids.zipWithIndex.map { case (cv, i) =>
+      val lits = cv.map(x => SrpSql.dl(x.toDouble)).mkString("[", ", ", "]")
+      s"($i, $lits)"
+    }.mkString(",\n    ")
+    val dterm = "CAST(CAST(CAST(e.embedding[i] AS DOUBLE) - c.cv[i] AS FLOAT) AS DOUBLE)"
+    val d2 = fold(s"$dterm * $dterm")
+    val dotAB = fold("CAST(p.ea[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)")
+    val nrmA = fold("CAST(p.ea[i] AS DOUBLE) * CAST(p.ea[i] AS DOUBLE)")
+    val nrmB = fold("CAST(p.eb[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)")
+    s"""WITH cent AS (
+       |  SELECT * FROM (VALUES
+       |    $centRows) AS t(c, cv)),
+       |d2 AS (
+       |  SELECT e.vec_id, e.embedding, c.c, $d2 AS d
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c AS cluster FROM (
+       |    SELECT vec_id, embedding, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM d2) t WHERE rn = 1),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding, cluster,
+       |      COUNT(*) OVER (PARTITION BY cluster) AS bsz
+       |    FROM assigned) t WHERE bsz <= $maxClusterSize),
+       |pairs AS (
+       |  SELECT a.cluster, a.vec_id AS idA, b.vec_id AS idB,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM capped a JOIN capped b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT cluster, idA, idB, $dotAB AS dot,
+       |    sqrt($nrmA) * sqrt($nrmB) AS nn
+       |  FROM pairs p)
+       |SELECT CAST(cluster AS INT) AS cluster, idA, idB,
+       |  CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END AS cosine
+       |FROM scored
+       |WHERE CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END >= $minCosine
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  /** DuckDB SQL replaying q_domain_mix from the exported per-domain keep
+    * fractions (exact Double round-trip literals): the same "seed|key"
+    * md5-lower-64 row hash and the same floor(f * 2^64) cuts, generated
+    * through Sampling.cutUnsigned — one source of truth with the engine.
+    * f >= 1.0 keeps the domain outright (its cut, 2^64, does not fit
+    * UBIGINT — mirroring stratifiedSample's f >= 1.0 short-circuit);
+    * f <= 0.0 and unlisted domains drop.
+    */
+  private def domainMixOracle(seed: String,
+      fracs: Seq[(String, Double)]): String = {
+    val cases = fracs.sortBy(_._1).map { case (dom, f) =>
+      val cond =
+        if (f >= 1.0) "TRUE"
+        else if (f <= 0.0) "FALSE"
+        else s"h < ${graft.ops.Sampling.cutUnsigned(f)}::UBIGINT"
+      s"WHEN lang = '$dom' THEN $cond"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    md5_number_lower('${seed}|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents)
+       |WHERE CASE
+       |    $cases
+       |    ELSE FALSE END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB SQL replaying q_entity_detect (R1 coverage + R3 greedy spans +
     * aggregation) as a collapsed form that is provably order-independent
     * for THIS dictionary × vocabulary, derived at generation time from the
@@ -1923,7 +2070,9 @@ object SparkEntry {
         val cents = new String(java.nio.file.Files.readAllBytes(sidecar),
           java.nio.charset.StandardCharsets.UTF_8)
           .split("\n").map(_.split(",").map(_.toFloat))
-        Map("q_ivf_ann" -> ivfOracle(cents, dim = 64, nprobe = 3, k = 10))
+        Map("q_ivf_ann" -> ivfOracle(cents, dim = 64, nprobe = 3, k = 10),
+          "q_semdedup" -> semDedupOracle(cents, dim = 64, minCosine = 0.3,
+            maxClusterSize = 1024))
       }
     // q_bm25_fuzzy: the (token -> analyzed term) map the contract query
     // exported from THIS sf dir's corpus; absent (premise failed or query
@@ -1967,7 +2116,21 @@ object SparkEntry {
             maxRepSpanPct = Some(5),
             lmGate = Some((lex, OovNllMicro, LmCapMicro))))
       }
-    staticOracleSql ++ ivf ++ fuzzyStd ++ uni
+    // q_domain_mix: per-domain keep fractions exported by the contract
+    // query (they fold per-domain counts — data-dependent); absent ->
+    // rows-only, not a false mismatch
+    val mixSidecar = java.nio.file.Paths.get(mixSidecarPath(sfDir))
+    val mix: Map[String, String] =
+      if (!java.nio.file.Files.exists(mixSidecar)) Map.empty
+      else {
+        val fr = new String(java.nio.file.Files.readAllBytes(mixSidecar),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+          .map { l => val i = l.indexOf('\t')
+            (l.substring(0, i), l.substring(i + 1).toDouble) }
+        Map("q_domain_mix" -> domainMixOracle(MixSeed, fr))
+      }
+    staticOracleSql ++ ivf ++ fuzzyStd ++ uni ++ mix
   }
 
   /** DuckDB oracles (driver contract). Tables are registered under their
@@ -2179,6 +2342,12 @@ object SparkEntry {
       touch = "idA % 4 = 3 OR idB % 4 = 3"),
     "q_split" -> splitOracle("graft",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "q_shuffle" ->
+      s"""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY
+         |    md5_number_lower('${MixSeed}|' || CAST(doc_id AS VARCHAR)),
+         |    doc_id) - 1 AS BIGINT) AS shuffle_pos
+         |FROM documents ORDER BY shuffle_pos""".stripMargin,
     "q_dup_substrings" -> dupSubstringsOracle(DupWindowTokens, DupMinDocs),
     "q_dup_substrings_incr" -> dupSubstringsIncrOracle(DupWindowTokens,
       DupMinDocs, "doc_id % 4 = 3"),

@@ -389,22 +389,7 @@ object Dedup {
         "n/2^nBits, so grow nBits with the corpus: " +
         "nBits >= log2(n / maxBucketSize).")
     val b = capped.select(col("srp_bucket"), col("_id").as("idB"), col("_v").as("vb"))
-    // compiled UDF, not the aggregate/zip_with column expression: Spark
-    // evaluates higher-order functions INTERPRETED per element, which
-    // dominates at pair volume. The while-loop sums left-to-right exactly
-    // like the fold (0.0 + x0 ≡ x0 in IEEE), so DuckDB bit-parity holds.
-    val cosU = udf { (va: Seq[Float], vb: Seq[Float]) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = math.min(va.length, vb.length)
-      while (i < n) {
-        val x = va(i).toDouble; val y = vb(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      val nn = math.sqrt(na) * math.sqrt(nb)
-      if (nn > 0) dot / nn else 0.0
-    }
+    val cosU = exactCosineUdf
     val aHome = capped.select(col("srp_bucket"), col("_id").as("idA"), col("_v").as("va"))
     val homeCand = aHome.join(b, Seq("srp_bucket"))
       .filter(col("idA") < col("idB"))
@@ -471,18 +456,7 @@ object Dedup {
       "The cap applies to UNION home-bucket widths, which only grow as " +
         "batches land; grow nBits with the corpus " +
         "(nBits >= log2(n / maxBucketSize)) and rebuild the store.")
-    val cosU = udf { (va: Seq[Float], vb: Seq[Float]) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = math.min(va.length, vb.length)
-      while (i < n) {
-        val x = va(i).toDouble; val y = vb(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      val nn = math.sqrt(na) * math.sqrt(nb)
-      if (nn > 0) dot / nn else 0.0
-    }
+    val cosU = exactCosineUdf
     val b = capped.select(col("srp_bucket"), col("_id").as("idO"),
       col("_v").as("vb"))
     val flips = (0 until nBits).map(bb =>
@@ -500,6 +474,74 @@ object Dedup {
       .withColumn("cosine", cosU(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
       .select("idA", "idB", "cosine")
+  }
+
+  /** Exact cosine as an explicit left-to-right double fold — a compiled
+    * UDF, not the aggregate/zip_with column expression: Spark evaluates
+    * higher-order functions INTERPRETED per element, which dominates at
+    * pair volume. The while-loop sums left-to-right exactly like a fold
+    * (0.0 + x0 ≡ x0 in IEEE), so the DuckDB oracles' explicit-order
+    * list_reduce replays every embedding op bit-identically. Shared by
+    * all three embedding pair generators.
+    */
+  private[ops] def exactCosineUdf = udf { (va: Seq[Float], vb: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(va.length, vb.length)
+    while (i < n) {
+      val x = va(i).toDouble; val y = vb(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn > 0) dot / nn else 0.0
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantically-redundant pairs found WITHIN k-means clusters of the
+    * embedding space — the coarse quantizer's cluster replaces
+    * [[embeddingNearDupPairs]]'s SRP bucket as the blocking key, which is
+    * the paper's exact shape: cluster once, compare only inside clusters,
+    * prune one side of every pair above the cosine threshold (feed the
+    * output to [[survivorsFromPairs]] / [[connectedComponents]] like any
+    * other pair table).
+    *
+    * Takes a PRE-CLUSTERED table — e.g. the
+    * `Similarity.withIvfCluster` output that IVF ANN already materializes
+    * `partitionBy(ivf_cluster)`: ONE stored table serves both ANN probes
+    * and semantic dedup, and the expensive k-means training happens once.
+    * Within each cluster: width-capped self-join (audited —
+    * [[lastCapDrops]]("semanticNearDupPairs")) + exact cosine with the
+    * shared explicit-order fold, so the DuckDB oracle replays assignment
+    * (from exported centroid literals), cap, pairing and scores
+    * bit-identically.
+    *
+    * Scale shape: the all-pairs work happens only INSIDE a cluster, so k
+    * is the knob — grow it with the corpus (k >= n / targetClusterWidth;
+    * SemDeDup itself runs k = 11k on 1e9 embeddings) and the cap audit
+    * makes overflow visible instead of silent. Clusters are disjoint, so
+    * no probe ring and no pair dedup pass are needed.
+    *
+    * Returns (cluster, idA, idB, cosine) with idA < idB, cosine >= minCosine.
+    */
+  def semanticNearDupPairs(clustered: DataFrame, vecCol: String,
+      idCol: String, clusterCol: String = "ivf_cluster",
+      minCosine: Double = 0.9, maxClusterSize: Int = 1024): DataFrame = {
+    val rows = clustered.select(col(clusterCol).as("_cl"),
+      col(idCol).as("_id"), col(vecCol).as("_v"))
+    val capped = capBucketsAudited(rows, Seq("_cl"), maxClusterSize,
+      "semanticNearDupPairs",
+      "Cluster count k is the blocking knob — grow it with the corpus " +
+        "(k >= n / maxClusterSize on average) and re-train the coarse " +
+        "quantizer when clusters overflow.")
+    val a = capped.select(col("_cl"), col("_id").as("idA"), col("_v").as("va"))
+    val b = capped.select(col("_cl"), col("_id").as("idB"), col("_v").as("vb"))
+    a.join(b, Seq("_cl"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("cosine", exactCosineUdf(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("_cl").as("cluster"), col("idA"), col("idB"), col("cosine"))
   }
 
   /** EXACT n-gram Jaccard self-join via prefix filtering (the SSJoin /

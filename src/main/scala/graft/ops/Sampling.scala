@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
@@ -74,6 +75,102 @@ object Sampling {
         .map(_._1).getOrElse(lastName)
     }
     df.withColumn("split", labelU(rowHash(keyCol, seed)))
+  }
+
+  /** The per-domain keep fractions for a target mixture (the math behind
+    * [[domainMix]], exposed so callers — and the contract query's oracle
+    * sidecar — can see the exact fractions applied): `weights` are target
+    * mixture proportions (normalized internally); the achievable output
+    * size is the largest T such that every weighted domain can supply its
+    * share from the rows it has, `T = min_d n_d / w_d`, giving
+    * `f_d = min(1, w_d * T / n_d)` — the binding domain keeps everything,
+    * every other domain deterministically downsamples to match the target
+    * proportions in expectation. Domains absent from `weights` get 0.0
+    * (dropped: the mixture spec IS the domain list). One tiny
+    * per-domain count aggregation (map-side partial, #domains rows
+    * collected) is the only job.
+    */
+  def domainMixFractions(df: DataFrame, domainCol: Column,
+      weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.exists(_ > 0.0),
+      "weights must be non-negative with at least one positive entry")
+    val wsum = weights.values.sum
+    val norm = weights.map { case (d, w) => d -> w / wsum }
+    val counts = df.groupBy(domainCol.cast("string").as("_dom"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = norm.filter { case (d, w) => w > 0.0 && counts.getOrElse(d, 0L) > 0L }
+    require(present.nonEmpty, "no positively-weighted domain present in the data")
+    val t = present.map { case (d, w) => counts(d) / w }.min
+    norm.map { case (d, w) =>
+      val n = counts.getOrElse(d, 0L)
+      d -> (if (n == 0L || w == 0.0) 0.0 else math.min(1.0, w * t / n))
+    }
+  }
+
+  /** Deterministic domain-mixture downsampling — the Pile/DoReMi-style
+    * "hit target domain proportions" pass an LLM pre-training pipeline
+    * runs before packing: compute [[domainMixFractions]] for the target
+    * `weights`, then keep each row iff its (seed, key) hash clears the
+    * domain's cut (the same RNG-free predicate as [[sample]] — map-only,
+    * reproducible at any parallelism, engine-replayable via
+    * md5_number_lower). Rows in domains outside `weights` are dropped.
+    */
+  def domainMix(df: DataFrame, keyCol: Column, domainCol: Column,
+      seed: String, weights: Map[String, Double]): DataFrame =
+    stratifiedSample(df, keyCol, domainCol, seed,
+      domainMixFractions(df, domainCol, weights), defaultFraction = 0.0)
+
+  /** Deterministic global shuffle order — the training-order pass after
+    * packing: every row gets `shuffle_pos`, its EXACT 0-based rank in
+    * (row-hash, key) order. A different `seed` is a fresh, independent
+    * permutation of the same corpus (per-epoch reshuffling without RNG
+    * state); the output is a pure function of (seed, key set) —
+    * invariant to parallelism and input partitioning, and replayable in
+    * any engine as `ROW_NUMBER() OVER (ORDER BY hash, key) - 1`.
+    *
+    * 100-TB shape (the [[graft.ops.Packing]] prefix-sum discipline): NEVER
+    * a single-partition global window. Rows bucket by the TOP BITS of the
+    * sign-flipped hash (arithmetic shift — a pure function of the hash,
+    * monotone in unsigned hash order, so bucket boundaries can never
+    * disagree with the within-bucket sort), per-bucket counts are
+    * collected (<= numRanges rows — tiny) and folded into offsets
+    * broadcast back as a literal map, and the within-bucket rank is a
+    * window partitioned by bucket. The hash is uniform by construction,
+    * so buckets are balanced regardless of key skew. Only the projected
+    * row moves; `numRanges` rounds up to a power of two.
+    *
+    * Keys must be unique (they are the identity of the row in the
+    * permutation): equal keys get equal hashes and the (hash, key)
+    * tie-break cannot order them.
+    */
+  def shuffleRank(df: DataFrame, keyCol: Column, seed: String,
+      numRanges: Int = 64): DataFrame = {
+    require(numRanges > 0, "numRanges must be positive")
+    // ceil(log2(numRanges)) top bits address the bucket; numRanges == 1
+    // means bits == 0 -> a single bucket (shift-by-64 is a Java no-op, so
+    // the bits == 0 case is special-cased to a constant)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, numRanges.toLong - 1L))
+    // sign-flip makes SIGNED order == unsigned order of the raw hash
+    val bucketed = df
+      .withColumn("_hs", rowHash(keyCol, seed).bitwiseXOR(lit(Long.MinValue)))
+      .withColumn("_bkt",
+        if (bits == 0) lit(0L) else shiftright(col("_hs"), 64 - bits))
+    val counts = bucketed.groupBy("_bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (counts.isEmpty) // empty input: schema only
+      return df.withColumn("shuffle_pos", lit(0L)).limit(0)
+    val offsets = counts.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.sliding(2).map { case Array((_, off), (b, _)) => (b, off) }.toMap
+    val w = Window.partitionBy("_bkt").orderBy(col("_hs"), keyCol)
+    bucketed
+      .withColumn("shuffle_pos",
+        element_at(typedLit(offsets), col("_bkt"))
+          + row_number().over(w).cast("long") - 1L)
+      .drop("_hs", "_bkt")
   }
 
   /** Per-stratum fractions (e.g. downsample dominant languages): rows in a

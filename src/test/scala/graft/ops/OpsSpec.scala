@@ -607,6 +607,95 @@ class OpsSpec extends SparkTestBase {
     assert(kept.length == 1000 && kept.forall(_ == "en"))
   }
 
+  test("domainMix: binding domain keeps all, others downsample to target") {
+    val rows = (0L until 3000L).map { i =>
+      (i, if (i < 1500) "en" else if (i < 2500) "de" else "zh")
+    }.toDF("id", "lang")
+    val weights = Map("en" -> 0.6, "de" -> 0.3, "zh" -> 0.1)
+    val fr = Sampling.domainMixFractions(rows, col("lang"), weights)
+    // T = min(1500/0.6, 1000/0.3, 500/0.1) = 2500 — en binds and keeps all
+    assert(fr("en") == 1.0)
+    assert(math.abs(fr("de") - 0.75) < 1e-12) // 0.3 * 2500 / 1000
+    assert(math.abs(fr("zh") - 0.5) < 1e-12) // 0.1 * 2500 / 500
+    val out = Sampling.domainMix(rows, col("id"), col("lang"), "s", weights)
+      .select("id", "lang").as[(Long, String)].collect()
+    val by = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by("en") == 1500) // f = 1.0 is exact, not probabilistic
+    assert(math.abs(by("de") - 750) < 100 && math.abs(by("zh") - 250) < 60)
+    // unlisted domains drop; partitioning cannot move a row
+    val extra = rows.withColumn("lang",
+      when(col("id") === 0, "fr").otherwise(col("lang")))
+    val ids1 = Sampling.domainMix(extra, col("id"), col("lang"), "s", weights)
+      .select("id").as[Long].collect().toSet
+    val ids2 = Sampling.domainMix(extra.repartition(7), col("id"), col("lang"),
+      "s", weights).select("id").as[Long].collect().toSet
+    assert(!ids1.contains(0L) && ids1 == ids2)
+  }
+
+  test("shuffleRank: exact permutation, invariant to partitioning/ranges") {
+    val rows = spark.range(0, 1000).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame, nr: Int): Seq[(Long, Long)] =
+      Sampling.shuffleRank(df, col("id"), "ep0", nr)
+        .select("id", "shuffle_pos").as[(Long, Long)].collect()
+        .sortBy(_._1).toSeq
+    val base = run(rows, 64)
+    // positions are exactly 0..n-1 (a permutation, no gaps, no dups)
+    assert(base.map(_._2).sorted == (0L until 1000L))
+    // pure function of (seed, key set): neither input partitioning nor the
+    // bucket count can move a row
+    assert(run(rows.repartition(13), 64) == base)
+    assert(run(rows, 7) == base)
+    assert(run(rows, 1) == base)
+    // matches the definitional single-sort oracle: rank in (hash, key) order
+    val expect = (0L until 1000L)
+      .sortBy(id => (graft.functions.CrossHash.md5Lower64("ep0|" + id)
+        ^ Long.MinValue, id))
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.sortBy(_._1).toSeq
+    assert(base == expect)
+    // a different seed is a genuinely different permutation
+    assert(Sampling.shuffleRank(rows, col("id"), "ep1", 64)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq != base)
+  }
+
+  test("semanticNearDupPairs equals brute within-cluster pairs; cap audited") {
+    val dim = 8
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 100L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0) dot / nn else 0.0
+    }
+    // the op takes ANY clustering; a deterministic fake (id % 4) makes the
+    // brute-force expectation exact
+    val clustered = rows.toDF("vec_id", "embedding")
+      .withColumn("cl", (col("vec_id") % 4).cast("int"))
+    val minCos = 0.2
+    val brute = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && ia % 4 == ib % 4 && cosine(va, vb) >= minCos
+    } yield (ia, ib)).toSet
+    val got = Dedup.semanticNearDupPairs(clustered, "embedding", "vec_id",
+      clusterCol = "cl", minCosine = minCos, maxClusterSize = 64)
+      .select("idA", "idB").as[(Long, Long)].collect()
+    assert(brute.nonEmpty && got.length == got.toSet.size)
+    assert(got.toSet == brute)
+    assert(Dedup.lastCapDrops("semanticNearDupPairs")
+      .contains(Dedup.CapDrops(0, 0)))
+    // cap below the 25-row cluster width: all four clusters drop, audited
+    val dropped = Dedup.semanticNearDupPairs(clustered, "embedding",
+      "vec_id", clusterCol = "cl", minCosine = minCos, maxClusterSize = 20)
+    assert(dropped.count() == 0)
+    assert(Dedup.lastCapDrops("semanticNearDupPairs")
+      .contains(Dedup.CapDrops(4, 100)))
+  }
+
   test("nearDupSurvivors: losers dropped, min-id canonical kept") {
     val surv = Dedup.nearDupSurvivors(docs, "text", "doc_id",
       shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
