@@ -523,6 +523,21 @@ object SparkEntry {
           minCosine = 0.3, maxBucketSize = 256)
         .orderBy("idA", "idB")
     }),
+    "q_semdedup_incr" -> ((s, d) => {
+      // incremental SemDeDup: the batch assigns through the FROZEN
+      // quantizer and probes the same materialized cluster store
+      // (filtered to old ids); equals the full run restricted to pairs
+      // touching the batch — the oracle replays the full pipeline from
+      // the exported centroids and applies that restriction
+      val (clustered, model) = ivfTableFor(s, d)
+      val batch = table(s, d, "embeddings").filter(col("vec_id") % 4 === 3)
+      Dedup.semanticNearDupIncremental(batch,
+          clustered.filter(col("vec_id") % 4 =!= 3), "embedding", "vec_id",
+          model, minCosine = 0.3, maxClusterSize = 1024)
+        .select(col("cluster").cast("int").as("cluster"), col("idA"),
+          col("idB"), col("cosine"))
+        .orderBy("idA", "idB")
+    }),
     "q_curation" -> ((s, d) => {
       // the one-call curation pipeline (exact dedup -> near-dup removal ->
       // quality gate -> language gate -> split), every stage replayed in
@@ -1868,7 +1883,7 @@ object SparkEntry {
     * Dedup.semanticNearDupPairs pipeline bit-identically.
     */
   private def semDedupOracle(centroids: Array[Array[Float]], dim: Int,
-      minCosine: Double, maxClusterSize: Int): String = {
+      minCosine: Double, maxClusterSize: Int, touch: String = ""): String = {
     val fold = SrpSql.fold(dim) _
     val centRows = centroids.zipWithIndex.map { case (cv, i) =>
       val lits = cv.map(x => SrpSql.dl(x.toDouble)).mkString("[", ", ", "]")
@@ -1907,7 +1922,7 @@ object SparkEntry {
        |SELECT CAST(cluster AS INT) AS cluster, idA, idB,
        |  CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END AS cosine
        |FROM scored
-       |WHERE CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END >= $minCosine
+       |WHERE CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END >= $minCosine${touchSql(touch)}
        |ORDER BY idA, idB""".stripMargin
   }
 
@@ -2072,7 +2087,10 @@ object SparkEntry {
           .split("\n").map(_.split(",").map(_.toFloat))
         Map("q_ivf_ann" -> ivfOracle(cents, dim = 64, nprobe = 3, k = 10),
           "q_semdedup" -> semDedupOracle(cents, dim = 64, minCosine = 0.3,
-            maxClusterSize = 1024))
+            maxClusterSize = 1024),
+          "q_semdedup_incr" -> semDedupOracle(cents, dim = 64,
+            minCosine = 0.3, maxClusterSize = 1024,
+            touch = "idA % 4 = 3 OR idB % 4 = 3"))
       }
     // q_bm25_fuzzy: the (token -> analyzed term) map the contract query
     // exported from THIS sf dir's corpus; absent (premise failed or query

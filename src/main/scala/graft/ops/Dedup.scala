@@ -544,6 +544,55 @@ object Dedup {
       .select(col("_cl").as("cluster"), col("idA"), col("idB"), col("cosine"))
   }
 
+  /** Incremental SemDeDup — the cluster-blocked sibling of
+    * [[embeddingNearDupIncremental]]: candidate pairs touching a newly
+    * ingested batch against a persisted cluster store, which is EXACTLY
+    * the (id, cluster, vec) table `Similarity.withIvfCluster` produces
+    * and IVF ANN already materializes `partitionBy(ivf_cluster)` — one
+    * persisted table serves ANN probes, batch semantic dedup AND this
+    * sweep. The quantizer is FROZEN (centroids are a pure function
+    * passed in as `model`), so cluster assignment of stored rows never
+    * goes stale — the same property that lets the SRP store persist,
+    * and the reason the k-means is trained offline in the SemDeDup
+    * deployment shape.
+    *
+    * New rows assign through the frozen model, join the capped UNION
+    * store within their cluster, canonicalize with least/greatest, and
+    * dedup BEFORE the cosine verify (new×new pairs enumerate from both
+    * sides). The result equals `semanticNearDupPairs(store ∪ batch)`
+    * restricted to pairs with at least one new id (spec-pinned). Ids
+    * must be unique across store ∪ batch.
+    */
+  def semanticNearDupIncremental(newDocs: DataFrame, clusterStore: DataFrame,
+      vecCol: String, idCol: String, model: graft.ops.Similarity.IvfModel,
+      clusterCol: String = "ivf_cluster", minCosine: Double = 0.9,
+      maxClusterSize: Int = 1024): DataFrame = {
+    import graft.ops.Similarity
+    val newRows = Similarity.withIvfCluster(newDocs, vecCol, model)
+      .select(col("ivf_cluster").as("_cl"), col(idCol).as("_id"),
+        col(vecCol).as("_v"), lit(true).as("isNew"))
+    val all = clusterStore
+      .select(col(clusterCol).as("_cl"), col(idCol).as("_id"),
+        col(vecCol).as("_v"), lit(false).as("isNew"))
+      .union(newRows)
+    val capped = capBucketsAudited(all, Seq("_cl"), maxClusterSize,
+      "semanticNearDupIncremental",
+      "The cap applies to UNION cluster widths, which only grow as " +
+        "batches land; grow k and re-train the frozen quantizer " +
+        "(k >= n / maxClusterSize on average), then rebuild the store.")
+    val a = capped.filter(col("isNew"))
+      .select(col("_cl"), col("_id").as("idN"), col("_v").as("va"))
+    val b = capped.select(col("_cl"), col("_id").as("idO"), col("_v").as("vb"))
+    a.join(b, Seq("_cl"))
+      .filter(col("idN") =!= col("idO"))
+      .select(col("_cl"), least(col("idN"), col("idO")).as("idA"),
+        greatest(col("idN"), col("idO")).as("idB"), col("va"), col("vb"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("cosine", exactCosineUdf(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("_cl").as("cluster"), col("idA"), col("idB"), col("cosine"))
+  }
+
   /** EXACT n-gram Jaccard self-join via prefix filtering (the SSJoin /
     * PPJoin family — Chaudhuri et al., "A Primitive Operator for Similarity
     * Joins", ICDE'06; Xiao et al., "Efficient Similarity Joins for Near

@@ -160,6 +160,47 @@ object StreamingDedup {
     writeBatch(bucketed(b), s"$stateDir/buckets", batchId)
   }
 
+  /** SemDeDup sibling of [[nearDupSweep]] (7th family member): the
+    * persisted state is the (id, cluster, vec) table
+    * [[graft.ops.Similarity.withIvfCluster]] produces — the same table
+    * IVF ANN serves probes from — maintained incrementally as batches
+    * stream in. The coarse quantizer is FROZEN (`model` is trained
+    * offline, the SemDeDup deployment shape — same trust model as
+    * [[unigramQualityGate]]'s frozen lexicon), so stored assignments
+    * never go stale. Telescoping vs
+    * `Dedup.semanticNearDupPairs(all batches)` and crash-replay
+    * idempotency are spec-pinned like the other sweeps.
+    */
+  def semanticSweep(docs: DataFrame, vecCol: String, idCol: String,
+      stateDir: String, checkpointDir: String,
+      model: graft.ops.Similarity.IvfModel, minCosine: Double = 0.9,
+      maxClusterSize: Int = 1024): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticSweepBatch(batch, batchId, vecCol, idCol, stateDir, model,
+          minCosine, maxClusterSize)
+      }
+      .start()
+
+  /** One micro-batch of [[semanticSweep]]. Idempotent per batchId. */
+  def semanticSweepBatch(batch: DataFrame, batchId: Long, vecCol: String,
+      idCol: String, stateDir: String,
+      model: graft.ops.Similarity.IvfModel, minCosine: Double,
+      maxClusterSize: Int): Unit = {
+    import graft.ops.Similarity
+    val b = batch.select(col(idCol), col(vecCol))
+    def clustered(df: DataFrame): DataFrame =
+      Similarity.withIvfCluster(df, vecCol, model)
+        .select(col(idCol), col("ivf_cluster"), col(vecCol))
+    val store = landed(b, s"$stateDir/clusters", clustered(b.limit(0)),
+      batchId)
+    val pairs = Dedup.semanticNearDupIncremental(b, store, vecCol, idCol,
+      model, minCosine = minCosine, maxClusterSize = maxClusterSize)
+    writeBatch(pairs, s"$stateDir/pairs", batchId)
+    writeBatch(clustered(b), s"$stateDir/clusters", batchId)
+  }
+
   /** Substring-level sibling of [[nearDupSweep]]: the persisted state is
     * the per-(gram, doc) window-count table
     * [[graft.ops.Dedup.duplicateSubstringGramStore]] produces. Each batch

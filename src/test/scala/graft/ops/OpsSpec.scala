@@ -696,6 +696,35 @@ class OpsSpec extends SparkTestBase {
       .contains(Dedup.CapDrops(4, 100)))
   }
 
+  test("incremental SemDeDup equals full pairs touching the batch") {
+    val dim = 8
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 100L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    // frozen quantizer: fixed centroids — assignment is a pure function,
+    // so the store can never go stale
+    val model = Similarity.IvfModel(
+      Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val minCos = 0.2
+    val full = Dedup.semanticNearDupPairs(
+      Similarity.withIvfCluster(rows.toDF("vec_id", "embedding"),
+        "embedding", model), "embedding", "vec_id",
+      minCosine = minCos, maxClusterSize = 64)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // corpus {0..79} stored (the same withIvfCluster table ANN probes),
+    // batch {80..99} arrives
+    val store = Similarity.withIvfCluster(
+      rows.take(80).toDF("vec_id", "embedding"), "embedding", model)
+    val inc = Dedup.semanticNearDupIncremental(
+      rows.drop(80).toDF("vec_id", "embedding"), store, "embedding",
+      "vec_id", model, minCosine = minCos, maxClusterSize = 64)
+      .select("idA", "idB").as[(Long, Long)].collect()
+    assert(inc.length == inc.toSet.size, "no duplicate pairs")
+    val expected = full.filter(p => p._1 >= 80 || p._2 >= 80)
+    assert(full.exists(p => p._1 < 80 && p._2 < 80)) // old×old really exists
+    assert(expected.nonEmpty && inc.toSet == expected)
+  }
+
   test("nearDupSurvivors: losers dropped, min-id canonical kept") {
     val surv = Dedup.nearDupSurvivors(docs, "text", "doc_id",
       shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.5)

@@ -293,6 +293,45 @@ class StreamingSpec extends SparkTestBase {
     assert(ids("pass") == full && ids("fail") == Set(1L, 3L))
   }
 
+  test("semantic streaming sweep telescopes to the full batch run") {
+    import graft.ops.{Dedup, Similarity}
+    val state = tmpDir("graft-semsweep-state")
+    val ckpt = tmpDir("graft-semsweep-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    val rnd = new scala.util.Random(43)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L, base.toSeq) +: (1L, base.map(_ * 1.0001f).toSeq) +:
+        (2L until 20L).map(i =>
+          (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    // frozen offline-trained quantizer (the SemDeDup deployment shape)
+    val model = Similarity.IvfModel(
+      Array.fill(3)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val source = stream.toDF().toDF("vec_id", "embedding")
+    val q = StreamingDedup.semanticSweep(source, "embedding", "vec_id",
+      state, ckpt, model, minCosine = 0.9)
+    // the planted near-dup (0,1) straddles batches 0 and 1 — it must be
+    // found by batch 1's sweep against the landed cluster store
+    stream.addData(vecs.take(1): _*)
+    q.processAllAvailable()
+    stream.addData(vecs.slice(1, 10): _*)
+    q.processAllAvailable()
+    stream.addData(vecs.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$state/pairs")
+      .select("idA", "idB").as[(Long, Long)].collect()
+    val full = Dedup.semanticNearDupPairs(
+      Similarity.withIvfCluster(vecs.toDF("vec_id", "embedding"),
+        "embedding", model), "embedding", "vec_id", minCosine = 0.9)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(full.contains((0L, 1L))) // near-identical vectors share a cluster
+    assert(got.toSet == full, s"stream=${got.sorted} full=${full.toSeq.sorted}")
+    assert(got.length == full.size, "every pair exactly once across batches")
+  }
+
   test("embedding streaming sweep telescopes to the full batch run") {
     import graft.ops.Dedup
     val state = tmpDir("graft-emsweep-state")
