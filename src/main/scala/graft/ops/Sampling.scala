@@ -144,6 +144,11 @@ object Sampling {
     * Keys must be unique (they are the identity of the row in the
     * permutation): equal keys get equal hashes and the (hash, key)
     * tie-break cannot order them.
+    *
+    * Composes with [[graft.ops.Packing.packSequences]] for
+    * shuffle-then-pack (the standard trainer layout): `shuffle_pos` is a
+    * DENSE integral id, so packing with it as the id column concatenates
+    * the corpus in shuffled order (spec-pinned in OpsSpec).
     */
   def shuffleRank(df: DataFrame, keyCol: Column, seed: String,
       numRanges: Int = 64): DataFrame = {

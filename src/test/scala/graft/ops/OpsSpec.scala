@@ -658,6 +658,24 @@ class OpsSpec extends SparkTestBase {
       .sortBy(_._1).toSeq != base)
   }
 
+  test("shuffle-then-pack: shuffle_pos feeds packSequences as a dense id") {
+    val docs = (0L until 50L)
+      .map(i => (i, ("tok " * (((i % 7) + 1).toInt)).trim))
+      .toDF("doc_id", "text")
+    val shuffled = Sampling.shuffleRank(docs, col("doc_id"), "ep0")
+    val packed = Packing.packSequences(shuffled, "text", "shuffle_pos",
+        seqLen = 16)
+      .select("shuffle_pos", "tok_before").as[(Long, Long)].collect()
+      .sortBy(_._1)
+    // tok_before accumulates in SHUFFLED order: position p's offset is the
+    // sum of token counts of the p docs the permutation put before it
+    val order = shuffled.select("shuffle_pos", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val expect = order.map(_._2.split(" ").count(_.nonEmpty).toLong)
+      .scanLeft(0L)(_ + _).init
+    assert(packed.map(_._2).toSeq == expect.toSeq)
+  }
+
   test("semanticNearDupPairs equals brute within-cluster pairs; cap audited") {
     val dim = 8
     val rnd = new scala.util.Random(31)
