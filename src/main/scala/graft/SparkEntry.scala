@@ -586,6 +586,28 @@ object SparkEntry {
         .select("doc_id", "lang_pred", "split")
         .orderBy("doc_id")
     }),
+    "q_curation_sem" -> ((s, d) => {
+      // q_curation_lm plus the SemDeDup stage: semantic near-dups removed
+      // among upstream survivors using the SAME materialized IVF cluster
+      // table ANN probes; the oracle replays assignment from the exported
+      // centroids inside the one-statement composition (docs without an
+      // embedding pass through — at sf0.1 embeddings cover a subset)
+      import graft.ops.Curation
+      val (clustered, _) = ivfTableFor(s, d)
+      Curation.curate(table(s, d, "documents"), "text", "doc_id",
+          Curation.Config(shingleSize = 2, numHashes = 64, bands = 16,
+            minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+            minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+            fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
+            maxRepSpanPct = Some(5),
+            lmMaxMeanNllMicro = Some(LmCapMicro),
+            lmOovNllMicro = OovNllMicro),
+          semantic = Some(Curation.Semantic(clustered, minCosine = 0.3,
+            maxClusterSize = 1024)))
+        .select("doc_id", "lang_pred", "split")
+        .orderBy("doc_id")
+    }),
     "q_langid" -> ((s, d) => {
       TextAnalysis.langId(table(s, d, "documents"), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
@@ -1568,10 +1590,72 @@ object SparkEntry {
       fractions: Seq[(String, Double)], repTopN: Int = 2, repDupN: Int = 5,
       maxTopGramPct: Option[Int] = None,
       maxRepSpanPct: Option[Int] = None,
-      lmGate: Option[(Seq[(String, Long)], Long, Long)] = None): String = {
+      lmGate: Option[(Seq[(String, Long)], Long, Long)] = None,
+      semGate: Option[(Array[Array[Float]], Int, Double, Int)] = None): String = {
     val stopList = graft.ops.TextAnalysis.stopwords
       .map(s => s"'$s'").mkString(", ")
     val langsIn = keepLangs.map(l => s"'$l'").mkString(", ")
+    // with the semantic stage on, every downstream gate reads the
+    // post-SemDeDup survivor set
+    val src = if (semGate.isDefined) "ssurv" else "surv"
+    // SemDeDup stage (Curation.Semantic): same assignment / cap / pair /
+    // cosine CTEs as semDedupOracle but restricted to upstream survivors,
+    // then a second recursive min-label closure and the anti-join of
+    // losers — the full Dedup.survivorsFromPairs replay
+    val semCtes = semGate.map { case (cents, dim, minCos, cap) =>
+      val fold = SrpSql.fold(dim) _
+      val centRows = cents.zipWithIndex.map { case (cv, i) =>
+        val lits = cv.map(x => SrpSql.dl(x.toDouble)).mkString("[", ", ", "]")
+        s"($i, $lits)"
+      }.mkString(",\n    ")
+      val dterm = "CAST(CAST(CAST(e.embedding[i] AS DOUBLE) - c.cv[i] AS FLOAT) AS DOUBLE)"
+      val d2 = fold(s"$dterm * $dterm")
+      val dotAB = fold("CAST(p.ea[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)")
+      val nrmA = fold("CAST(p.ea[i] AS DOUBLE) * CAST(p.ea[i] AS DOUBLE)")
+      val nrmB = fold("CAST(p.eb[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)")
+      s"""semcent AS (
+         |  SELECT * FROM (VALUES
+         |    $centRows) AS t(c, cv)),
+         |semd2 AS (
+         |  SELECT e.vec_id, e.embedding, c.c, $d2 AS d
+         |  FROM embeddings e CROSS JOIN semcent c),
+         |semasg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, c AS cluster FROM (
+         |    SELECT vec_id, embedding, c,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM semd2) t WHERE rn = 1),
+         |semin AS (
+         |  SELECT a.vec_id, a.embedding, a.cluster
+         |  FROM semasg a JOIN surv s ON s.doc_id = a.vec_id),
+         |semcap AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding, cluster,
+         |      COUNT(*) OVER (PARTITION BY cluster) AS bsz
+         |    FROM semin) t WHERE bsz <= $cap),
+         |semsc AS MATERIALIZED (
+         |  SELECT idA, idB FROM (
+         |    SELECT p.idA, p.idB, $dotAB AS dot,
+         |      sqrt($nrmA) * sqrt($nrmB) AS nn
+         |    FROM (SELECT a.vec_id AS idA, b.vec_id AS idB,
+         |        a.embedding AS ea, b.embedding AS eb
+         |      FROM semcap a JOIN semcap b
+         |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id) p) z
+         |  WHERE CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END >= $minCos),
+         |semedges AS (
+         |  SELECT idA AS s, idB AS d FROM semsc
+         |  UNION
+         |  SELECT idB AS s, idA AS d FROM semsc),
+         |semreach(id, r) AS (
+         |  SELECT s, s FROM semedges
+         |  UNION
+         |  SELECT e.s, r.r FROM semedges e JOIN semreach r ON e.d = r.id),
+         |semlab AS MATERIALIZED (SELECT id, MIN(r) AS label FROM semreach GROUP BY 1),
+         |ssurv AS MATERIALIZED (
+         |  SELECT s.doc_id, s.text FROM surv s
+         |  LEFT JOIN semlab ON semlab.id = s.doc_id
+         |  WHERE semlab.id IS NULL OR semlab.label = s.doc_id),
+         |""".stripMargin
+    }.getOrElse("")
     // Gopher repetition gate over surv (Curation.Config.maxTopGramPct /
     // maxRepSpanPct): same CTE shapes as repetitionOracle, integer-only
     // comparisons (count*100 <= pct*denom) — no cross-engine float hazard
@@ -1580,7 +1664,7 @@ object SparkEntry {
       else
         s"""rtoks AS (
            |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
-           |  FROM surv),
+           |  FROM $src),
            |rtopc AS (
            |  SELECT doc_id, max(c) AS topc FROM (
            |    SELECT doc_id, g, COUNT(*) AS c FROM (
@@ -1643,7 +1727,7 @@ object SparkEntry {
         .getOrElse("")
     s"""WITH RECURSIVE canon AS (
        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-       |ek AS (
+       |ek AS MATERIALIZED (
        |  SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)),
        |${minhashCtes("ek", shingleSize, numHashes, bands, seed, maxBucketSize)},
        |dpairs AS (
@@ -1657,15 +1741,15 @@ object SparkEntry {
        |  SELECT s, s FROM edges
        |  UNION
        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
-       |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY 1),
-       |surv AS (
+       |lab AS MATERIALIZED (SELECT id, MIN(r) AS label FROM reach GROUP BY 1),
+       |surv AS MATERIALIZED (
        |  SELECT e.doc_id, e.text FROM ek e LEFT JOIN lab ON lab.id = e.doc_id
        |  WHERE lab.id IS NULL OR lab.label = e.doc_id),
-       |qtk AS (
+       |${semCtes}qtk AS (
        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t,
        |    length(text) AS nc,
        |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np
-       |  FROM surv),
+       |  FROM $src),
        |qual AS (
        |  SELECT doc_id,
        |    round((CASE WHEN len(t) BETWEEN 10 AND 100000
@@ -1678,9 +1762,9 @@ object SparkEntry {
        |       + 0.1 * (1.0 - least((CASE WHEN nc > 0
        |          THEN np::DOUBLE / nc ELSE 0.0 END) * 5, 1.0))), 6) AS quality
        |  FROM qtk),
-       |$repCtes$lmCtes${langPredCtes("surv")},
+       |$repCtes$lmCtes${langPredCtes(src)},
        |gated AS (
-       |  SELECT s.doc_id FROM surv s
+       |  SELECT s.doc_id FROM $src s
        |  JOIN qual q ON q.doc_id = s.doc_id
        |  JOIN lpred l ON l.doc_id = s.doc_id$repJoin$lmJoin
        |  WHERE q.quality >= $minQuality AND l.lang_pred IN ($langsIn)$repPred$lmPred)
@@ -2079,19 +2163,19 @@ object SparkEntry {
   def oracleSqlFor(sfDir: String): Map[String, String] = {
     val ivfDir = s"/tmp/graft_ivf_k16i4_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val sidecar = java.nio.file.Paths.get(s"$ivfDir/centroids.txt")
-    val ivf: Map[String, String] =
-      if (!java.nio.file.Files.exists(sidecar)) Map.empty
-      else {
-        val cents = new String(java.nio.file.Files.readAllBytes(sidecar),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").map(_.split(",").map(_.toFloat))
-        Map("q_ivf_ann" -> ivfOracle(cents, dim = 64, nprobe = 3, k = 10),
-          "q_semdedup" -> semDedupOracle(cents, dim = 64, minCosine = 0.3,
-            maxClusterSize = 1024),
-          "q_semdedup_incr" -> semDedupOracle(cents, dim = 64,
-            minCosine = 0.3, maxClusterSize = 1024,
-            touch = "idA % 4 = 3 OR idB % 4 = 3"))
-      }
+    val centsOpt: Option[Array[Array[Float]]] =
+      if (!java.nio.file.Files.exists(sidecar)) None
+      else Some(new String(java.nio.file.Files.readAllBytes(sidecar),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.split(",").map(_.toFloat)))
+    val ivf: Map[String, String] = centsOpt.map { cents =>
+      Map("q_ivf_ann" -> ivfOracle(cents, dim = 64, nprobe = 3, k = 10),
+        "q_semdedup" -> semDedupOracle(cents, dim = 64, minCosine = 0.3,
+          maxClusterSize = 1024),
+        "q_semdedup_incr" -> semDedupOracle(cents, dim = 64,
+          minCosine = 0.3, maxClusterSize = 1024,
+          touch = "idA % 4 = 3 OR idB % 4 = 3"))
+    }.getOrElse(Map.empty)
     // q_bm25_fuzzy: the (token -> analyzed term) map the contract query
     // exported from THIS sf dir's corpus; absent (premise failed or query
     // skipped) -> entry omitted -> driver records rows-only, not a false
@@ -2132,7 +2216,20 @@ object SparkEntry {
             fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
             repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
             maxRepSpanPct = Some(5),
-            lmGate = Some((lex, OovNllMicro, LmCapMicro))))
+            lmGate = Some((lex, OovNllMicro, LmCapMicro)))) ++
+          // q_curation_sem needs BOTH the lexicon and the centroid
+          // sidecars; either absent -> rows-only, never a false mismatch
+          centsOpt.map { cents =>
+            "q_curation_sem" -> curationOracle(shingleSize = 2,
+              numHashes = 64, bands = 16, minJaccard = 0.5, seed = 42L,
+              maxBucketSize = 64, minQuality = 0.5, keepLangs = Seq("en"),
+              splitSeed = "graft",
+              fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+              repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
+              maxRepSpanPct = Some(5),
+              lmGate = Some((lex, OovNllMicro, LmCapMicro)),
+              semGate = Some((cents, 64, 0.3, 1024)))
+          }.toMap
       }
     // q_domain_mix: per-domain keep fractions exported by the contract
     // query (they fold per-domain counts — data-dependent); absent ->

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *      (the exchange carries hash+id pairs only, never text);
   *   2. near-dup removal — [[Dedup.nearDupSurvivors]] (MinHash-LSH pairs →
   *      connected components → anti-join losers; the corpus itself never
-  *      self-shuffles);
+  *      self-shuffles); optionally followed by SemDeDup over a
+  *      pre-clustered embedding table ([[Semantic]]);
   *   3. quality gate — [[TextAnalysis.qualityScore]], expression-only;
   *   4. language gate — [[TextAnalysis.langId]], per-row UDF, no shuffle;
   *   5. train/val/test split — [[Sampling.split]], deterministic hash
@@ -68,12 +69,31 @@ object Curation {
       lmMaxMeanNllMicro: Option[Long] = None,
       lmOovNllMicro: Long = 20000000L)
 
+  /** Optional semantic-dedup stage input for [[curate]] (SemDeDup — the
+    * embedding-space dedup after the text-space one): `clustered` is the
+    * pre-clustered embedding table ([[Similarity.withIvfCluster]] output,
+    * i.e. the SAME materialized table IVF ANN probes). Its `idCol` must
+    * be the corpus id space (a doc without an embedding row passes the
+    * stage untouched — embeddings computed for a subset is the normal
+    * deployment). Pairs are found only among rows that survived the
+    * upstream dedups, so the stage composes cleanly and its replay can
+    * reference the upstream survivor set.
+    */
+  final case class Semantic(
+      clustered: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      clusterCol: String = "ivf_cluster",
+      minCosine: Double = 0.9,
+      maxClusterSize: Int = 1024)
+
   def curate(df: DataFrame, textCol: String, idCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      semantic: Option[Semantic] = None): DataFrame = {
     val canon = Dedup.exactCanonicalIds(df, textCol, idCol)
       .select(col("canonical_id").as(idCol))
     val exactKept = df.join(canon, Seq(idCol), "left_semi")
-    val survivors =
+    val textSurvivors =
       if (cfg.exactRecall)
         Dedup.survivorsFromPairs(exactKept, idCol,
           Dedup.ngramJaccardPairs(exactKept, textCol, idCol,
@@ -81,6 +101,21 @@ object Curation {
       else Dedup.nearDupSurvivors(exactKept, textCol, idCol,
         cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.minJaccard, cfg.seed,
         cfg.maxBucketSize)
+    val survivors = semantic match {
+      case None => textSurvivors
+      case Some(sem) =>
+        // SemDeDup among upstream survivors that have an embedding: the
+        // candidate restriction keeps the stage composable (a doc removed
+        // by text dedup can no longer anchor a semantic cluster) and the
+        // semi-join side is (id) only — the clustered table never moves
+        // more than its matching rows
+        val candidates = sem.clustered.join(
+          textSurvivors.select(col(idCol).as(sem.idCol)),
+          Seq(sem.idCol), "left_semi")
+        Dedup.survivorsFromPairs(textSurvivors, idCol,
+          Dedup.semanticNearDupPairs(candidates, sem.vecCol, sem.idCol,
+            sem.clusterCol, sem.minCosine, sem.maxClusterSize))
+    }
     val gated = TextAnalysis.langId(
         TextAnalysis.qualityScore(survivors, textCol), textCol)
       .filter(col("quality") >= cfg.minQuality &&

@@ -236,6 +236,48 @@ class OpsSpec extends SparkTestBase {
       maxRepSpanPct = Some(5))) == Set(0L))
   }
 
+  test("curation semantic stage drops the embedding near-dup loser") {
+    // four docs pass every text gate; 1 is a SEMANTIC near-dup of 0
+    // (nearly identical embedding, different enough text for minhash) and
+    // 3 has no embedding at all — it must pass through untouched
+    val corpus = Seq(
+      (0L, "the stream parser reads tokens and emits the tree in order now"),
+      (1L, "a parser emits tokens and the stream reads the tree in order"),
+      (2L, "the tree parser and stream tokens in order emits a reads next"),
+      (3L, "the winter garden of stone and light turns to silver mist today")
+    ).toDF("doc_id", "text")
+    val dim = 8
+    val rnd = new scala.util.Random(61)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val other = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val embeddings = Seq(
+      (0L, base.toSeq), (1L, base.map(_ * 1.0001f).toSeq),
+      (2L, other.toSeq)).toDF("vec_id", "embedding")
+    val model = Similarity.IvfModel(
+      Array.fill(2)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val clustered = Similarity.withIvfCluster(embeddings, "embedding", model)
+    def kept(sem: Option[Curation.Semantic]): Set[Long] =
+      Curation.curate(corpus, "text", "doc_id",
+          Curation.Config(minJaccard = 0.9), sem)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(None) == Set(0L, 1L, 2L, 3L)) // stage off: all pass
+    // stage on: 1 loses to 0 (min-id canonical); 2 far in cosine; 3 has
+    // no embedding and passes through
+    assert(kept(Some(Curation.Semantic(clustered, minCosine = 0.9)))
+      == Set(0L, 2L, 3L))
+    // a doc killed upstream cannot anchor a semantic cluster: make 0 an
+    // exact dup loser (of a new doc -1) — then the (0,1) pair never forms
+    // and 1 survives
+    val corpus2 = corpus.union(Seq(
+      (-1L, "the stream parser reads tokens and emits the tree in order now"))
+      .toDF("doc_id", "text"))
+    val kept2 = Curation.curate(corpus2, "text", "doc_id",
+        Curation.Config(minJaccard = 0.9),
+        Some(Curation.Semantic(clustered, minCosine = 0.9)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(-1L, 1L, 2L, 3L))
+  }
+
   test("curation unigram-LM gate drops the rare-token doc the others pass") {
     // three docs share their content vocabulary (low surprisal); the
     // victim is all hapax words — every other gate passes it (English,
