@@ -449,6 +449,24 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    "q_domain_mix_tok" -> ((s, d) => {
+      // token-weighted domain mixture (the production shape — mixture
+      // weights are token budgets, and a domain of long documents is
+      // bigger than its row count says): fractions derived from
+      // per-domain whitespace-token sums, exported for the oracle like
+      // q_domain_mix
+      val docs = table(s, d, "documents")
+      val fracs = Sampling.domainMixFractionsBy(docs, col("lang"),
+        MixWeights, sum(size(wsTokens(col("text")))))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(mixTokSidecarPath(d)),
+        fracs.toSeq.sorted.map { case (dom, f) => s"$dom\t$f" }
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+          MixSeed, fracs, defaultFraction = 0.0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "q_shuffle" -> ((s, d) => {
       // deterministic global training order: exact rank in (hash, key)
       // order via the two-level bucketed scan (never a single-partition
@@ -874,6 +892,10 @@ object SparkEntry {
     */
   private def mixSidecarPath(sfDir: String): String =
     s"/tmp/graft_mix_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.txt"
+
+  /** q_domain_mix_tok fraction sidecar (token-weighted twin). */
+  private def mixTokSidecarPath(sfDir: String): String =
+    s"/tmp/graft_mixtok_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.txt"
 
   private val BmTopkQuery = "spark merge query window"
   private val BmFuzzyQuery = "sparq mergee windoow"
@@ -2234,17 +2256,20 @@ object SparkEntry {
     // q_domain_mix: per-domain keep fractions exported by the contract
     // query (they fold per-domain counts — data-dependent); absent ->
     // rows-only, not a false mismatch
-    val mixSidecar = java.nio.file.Paths.get(mixSidecarPath(sfDir))
-    val mix: Map[String, String] =
-      if (!java.nio.file.Files.exists(mixSidecar)) Map.empty
+    def mixEntry(path: String, q: String): Map[String, String] = {
+      val sc = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(sc)) Map.empty
       else {
-        val fr = new String(java.nio.file.Files.readAllBytes(mixSidecar),
+        val fr = new String(java.nio.file.Files.readAllBytes(sc),
           java.nio.charset.StandardCharsets.UTF_8)
           .split("\n").toSeq.filter(_.nonEmpty)
           .map { l => val i = l.indexOf('\t')
             (l.substring(0, i), l.substring(i + 1).toDouble) }
-        Map("q_domain_mix" -> domainMixOracle(MixSeed, fr))
+        Map(q -> domainMixOracle(MixSeed, fr))
       }
+    }
+    val mix = mixEntry(mixSidecarPath(sfDir), "q_domain_mix") ++
+      mixEntry(mixTokSidecarPath(sfDir), "q_domain_mix_tok")
     staticOracleSql ++ ivf ++ fuzzyStd ++ uni ++ mix
   }
 

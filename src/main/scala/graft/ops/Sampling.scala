@@ -91,21 +91,36 @@ object Sampling {
     * collected) is the only job.
     */
   def domainMixFractions(df: DataFrame, domainCol: Column,
-      weights: Map[String, Double]): Map[String, Double] = {
+      weights: Map[String, Double]): Map[String, Double] =
+    domainMixFractionsBy(df, domainCol, weights, count(lit(1)))
+
+  /** [[domainMixFractions]] with an arbitrary per-domain size aggregate —
+    * pass `sum(sizeCol)` to target TOKEN proportions instead of row
+    * proportions (production mixtures are usually token-weighted: a
+    * domain of long documents is "bigger" than its row count says).
+    * Sampling still keeps/drops whole rows, so the realized token share
+    * matches the target in expectation under row-size independence.
+    * Use an INTEGRAL size column: a long sum is order-independent (and
+    * exact in the double widening below 2^53), so the derived fractions
+    * are deterministic at any parallelism; a double sum would not be.
+    */
+  def domainMixFractionsBy(df: DataFrame, domainCol: Column,
+      weights: Map[String, Double], sizeAgg: Column): Map[String, Double] = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
       weights.values.exists(_ > 0.0),
       "weights must be non-negative with at least one positive entry")
     val wsum = weights.values.sum
     val norm = weights.map { case (d, w) => d -> w / wsum }
     val counts = df.groupBy(domainCol.cast("string").as("_dom"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = norm.filter { case (d, w) => w > 0.0 && counts.getOrElse(d, 0L) > 0L }
+      .agg(sizeAgg.cast("double").as("n")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val present = norm.filter { case (d, w) =>
+      w > 0.0 && counts.getOrElse(d, 0.0) > 0.0 }
     require(present.nonEmpty, "no positively-weighted domain present in the data")
     val t = present.map { case (d, w) => counts(d) / w }.min
     norm.map { case (d, w) =>
-      val n = counts.getOrElse(d, 0L)
-      d -> (if (n == 0L || w == 0.0) 0.0 else math.min(1.0, w * t / n))
+      val n = counts.getOrElse(d, 0.0)
+      d -> (if (n == 0.0 || w == 0.0) 0.0 else math.min(1.0, w * t / n))
     }
   }
 

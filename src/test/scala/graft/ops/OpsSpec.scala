@@ -672,6 +672,16 @@ class OpsSpec extends SparkTestBase {
     val ids2 = Sampling.domainMix(extra.repartition(7), col("id"), col("lang"),
       "s", weights).select("id").as[Long].collect().toSet
     assert(!ids1.contains(0L) && ids1 == ids2)
+    // token-weighted twin: de docs are 3 tokens long, so de's token mass
+    // (3000 of 5000) makes it downsample harder (0.25) than its row
+    // share suggested (0.75); en still binds, zh unchanged by length
+    val sized = rows.withColumn("text",
+      when(col("lang") === "de", "w w w").otherwise("w"))
+    val frTok = Sampling.domainMixFractionsBy(sized, col("lang"), weights,
+      sum(size(split(col("text"), " "))))
+    assert(frTok("en") == 1.0)
+    assert(math.abs(frTok("de") - 0.25) < 1e-12) // 0.3 * 2500 / 3000
+    assert(math.abs(frTok("zh") - 0.5) < 1e-12) // 0.1 * 2500 / 500
   }
 
   test("shuffleRank: exact permutation, invariant to partitioning/ranges") {
