@@ -226,6 +226,14 @@ object SparkEntry {
           seqLen = PackSeqLen)
         .orderBy("doc_id", "seq_id")
     }),
+    "q_pack_text" -> ((s, d) => {
+      // the materialized training sequences the manifest describes: every
+      // row is one fixed-128-token sequence assembled from its segments
+      // in seq_off order (sort_array over structs — deterministic)
+      Packing.materializeSequences(table(s, d, "documents"), "text",
+          "doc_id", seqLen = PackSeqLen)
+        .orderBy("seq_id")
+    }),
     "q_chunks" -> ((s, d) => {
       // overlapping fixed-size token windows (context-window / retrieval
       // chunking): 32-token chunks at stride 24 -> 1..4 chunks per doc
@@ -233,6 +241,24 @@ object SparkEntry {
       Packing.tokenChunks(table(s, d, "documents"), "text", "doc_id",
           chunkSize = ChunkSize, stride = ChunkStride)
         .orderBy("doc_id", "chunk_id")
+    }),
+    "q_ann_recall" -> ((s, d) => {
+      // ANN quality evidence: recall@10 of the IVF probe path against
+      // the exact quantized-cosine top-10 on the same query — both
+      // subresults have exact DuckDB replays, so the recall count itself
+      // is oracle-checked end-to-end
+      val e = table(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val (clustered, model) = ivfTableFor(s, d)
+      val ivfTop = Similarity.ivfKnn(clustered, "embedding", "vec_id",
+        model, qv, 10, nprobe = 3).select("vec_id")
+      val exactTop = Similarity.quantizedCosKnn(e, "embedding", "vec_id",
+        qv, 10).select("vec_id")
+      ivfTop.join(exactTop, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .withColumn("k", lit(10))
+        .select("k", "hits")
     }),
     "q_quality_class" -> ((s, d) => {
       table(s, d, "documents")
@@ -2032,6 +2058,24 @@ object SparkEntry {
        |ORDER BY idA, idB""".stripMargin
   }
 
+  /** DuckDB SQL replaying q_ann_recall: the IVF top-10 (replayed from
+    * the exported centroids, [[ivfOracle]]) intersected with the exact
+    * quantized-cosine top-10 (the q_knn_cosine static oracle) — recall =
+    * the intersection size. Both subreplays are the already-green
+    * oracles verbatim, composed as nested-WITH CTEs.
+    */
+  private def annRecallOracle(centroids: Array[Array[Float]]): String = {
+    val ivf = ivfOracle(centroids, dim = 64, nprobe = 3, k = 10)
+    val exact = staticOracleSql("q_knn_cosine")
+    s"""WITH a AS (
+       |$ivf
+       |), b AS (
+       |$exact
+       |)
+       |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS hits
+       |FROM (SELECT vec_id FROM a INTERSECT SELECT vec_id FROM b) z""".stripMargin
+  }
+
   /** DuckDB SQL replaying q_domain_mix from the exported per-domain keep
     * fractions (exact Double round-trip literals): the same "seed|key"
     * md5-lower-64 row hash and the same floor(f * 2^64) cuts, generated
@@ -2196,7 +2240,8 @@ object SparkEntry {
           maxClusterSize = 1024),
         "q_semdedup_incr" -> semDedupOracle(cents, dim = 64,
           minCosine = 0.3, maxClusterSize = 1024,
-          touch = "idA % 4 = 3 OR idB % 4 = 3"))
+          touch = "idA % 4 = 3 OR idB % 4 = 3"),
+        "q_ann_recall" -> annRecallOracle(cents))
     }.getOrElse(Map.empty)
     // q_bm25_fuzzy: the (token -> analyzed term) map the contract query
     // exported from THIS sf dir's corpus; absent (premise failed or query
@@ -2385,6 +2430,40 @@ object SparkEntry {
         |  least(tok_before + n_tokens, (seq_id + 1) * $PackSeqLen)
         |    - greatest(tok_before, seq_id * $PackSeqLen) AS take_len
         |FROM g ORDER BY doc_id, seq_id""".stripMargin,
+    "q_pack_text" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_before
+        |  FROM n),
+        |g AS (
+        |  SELECT doc_id, n_tokens, tok_before, unnest(generate_series(
+        |    tok_before // $PackSeqLen,
+        |    (tok_before + n_tokens - 1) // $PackSeqLen)) AS seq_id
+        |  FROM c WHERE n_tokens > 0),
+        |m AS (
+        |  SELECT doc_id, seq_id,
+        |    greatest(seq_id * $PackSeqLen - tok_before, 0) AS doc_off,
+        |    greatest(tok_before - seq_id * $PackSeqLen, 0) AS seq_off,
+        |    least(tok_before + n_tokens, (seq_id + 1) * $PackSeqLen)
+        |      - greatest(tok_before, seq_id * $PackSeqLen) AS take_len
+        |  FROM g),
+        |parts AS (
+        |  SELECT m.seq_id, m.seq_off,
+        |    list_slice(t.tk, m.doc_off + 1, m.doc_off + m.take_len) AS part
+        |  FROM m JOIN t USING (doc_id)),
+        |seqs AS (
+        |  SELECT seq_id, flatten(list(part ORDER BY seq_off)) AS st
+        |  FROM parts GROUP BY seq_id)
+        |SELECT seq_id, CAST(len(st) AS INT) AS n_seq_tokens,
+        |  array_to_string(st, ' ') AS seq_text
+        |FROM seqs ORDER BY seq_id""".stripMargin,
     "q_chunks" ->
       s"""WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks

@@ -135,6 +135,36 @@ object Packing {
       .select("_id", "n_tokens", "tok_before")
   }
 
+  /** Materialize the packed training sequences [[packManifest]]
+    * describes — the table a trainer actually reads: join the manifest
+    * back to the documents, slice each segment from its document's token
+    * stream, and assemble every sequence's tokens in seq_off order.
+    * Output: (seq_id, n_seq_tokens, seq_text); every sequence carries
+    * exactly `seqLen` tokens except the final one.
+    *
+    * 100-TB shape: the manifest↔docs join is id-keyed (each document's
+    * text moves once, segments slice map-side); the only other exchange
+    * keys on seq_id and each group assembles <= seqLen tokens. Segment
+    * order inside a sequence is restored with sort_array over
+    * (seq_off, part) structs — collect_list is not order-stable,
+    * sort_array is deterministic (offsets are distinct by construction).
+    */
+  def materializeSequences(df: DataFrame, textCol: String, idCol: String,
+      seqLen: Long, numRanges: Int = 32): DataFrame = {
+    val manifest = packManifest(df, textCol, idCol, seqLen, numRanges)
+    val docs = df.select(col(idCol), wsTokens(col(textCol)).as("_toks"))
+    manifest.join(docs, Seq(idCol))
+      .select(col("seq_id"), struct(col("seq_off"),
+        slice(col("_toks"), (col("doc_off") + 1).cast("int"),
+          col("take_len").cast("int")).as("part")).as("_seg"))
+      .groupBy("seq_id")
+      .agg(sort_array(collect_list(col("_seg"))).as("_segs"))
+      .select(col("seq_id"),
+        flatten(transform(col("_segs"), s => s.getField("part"))).as("_st"))
+      .select(col("seq_id"), size(col("_st")).cast("int").as("n_seq_tokens"),
+        array_join(col("_st"), " ").as("seq_text"))
+  }
+
   /** Cut each document's token stream into fixed-size windows: starts at
     * 0, stride, 2*stride, … with the last window the first one whose end
     * reaches the document's end (so every token is covered and no window

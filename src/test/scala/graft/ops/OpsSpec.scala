@@ -710,6 +710,32 @@ class OpsSpec extends SparkTestBase {
       .sortBy(_._1).toSeq != base)
   }
 
+  test("materialized sequences tile the concatenated corpus exactly") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong * 3 + 1, Seq.fill(i % 7 + 1)(s"w$i").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val out = Packing.materializeSequences(df, "text", "doc_id", seqLen = 16)
+      .orderBy("seq_id").select("seq_id", "n_seq_tokens", "seq_text")
+      .as[(Long, Int, String)].collect()
+    val allToks = rows.sortBy(_._1).flatMap(_._2.split(" "))
+    // dense sequence ids; every sequence is exactly seqLen tokens except
+    // the last
+    assert(out.map(_._1).toSeq == (0L until out.length.toLong))
+    assert(out.init.forall(_._2 == 16))
+    val lastLen = if (allToks.length % 16 == 0) 16 else allToks.length % 16
+    assert(out.last._2 == lastLen)
+    // reconstruction: concatenating the sequences in order reproduces the
+    // corpus token stream in id order exactly
+    assert(out.flatMap(_._3.split(" ")).toSeq == allToks.toSeq)
+    // invariant to input partitioning and bucket count
+    val out2 = Packing.materializeSequences(df.repartition(7), "text",
+        "doc_id", seqLen = 16, numRanges = 3)
+      .orderBy("seq_id").select("seq_id", "n_seq_tokens", "seq_text")
+      .as[(Long, Int, String)].collect()
+    assert(out2.toSeq == out.toSeq)
+  }
+
   test("shuffle-then-pack: shuffle_pos feeds packSequences as a dense id") {
     val docs = (0L until 50L)
       .map(i => (i, ("tok " * (((i % 7) + 1).toInt)).trim))
