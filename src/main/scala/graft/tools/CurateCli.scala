@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Packing, Similarity}
+import graft.ops.{Bpe, Curation, Packing, Similarity}
 
 /** CLI surface for the training-data pipeline — the spark-submit entry a
   * user curating a corpus would start from: read the documents (and, when
@@ -63,12 +63,19 @@ object CurateCli {
     val bySplit = curated.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    val train = curated.filter(col("split") === "train")
     val nSeqs = seqLen.map { L =>
-      val seqs = Packing.materializeSequences(
-        curated.filter(col("split") === "train"), "text", "doc_id", L)
+      val seqs = Packing.materializeSequences(train, "text", "doc_id", L)
       seqs.write.mode("overwrite").parquet(s"$outDir/sequences")
       seqs.count()
     }
+
+    // tokenizer stats for the train split: 64 BPE merges trained on its
+    // word-frequency table (one aggregation), then the trained token
+    // count — the number a data-budget plan actually needs
+    val merges = Bpe.train(train, "text", numMerges = 64)
+    val bpeToks = Bpe.tokenCount(train, "text", merges)
+      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
 
     // last stdout line = the machine-readable report
     println(s"""{"in":$nIn,"kept":${bySplit.values.sum},""" +
@@ -76,7 +83,8 @@ object CurateCli {
       s""""val":${bySplit.getOrElse("val", 0L)},""" +
       s""""test":${bySplit.getOrElse("test", 0L)},""" +
       s""""semantic":${semantic.isDefined},""" +
-      s""""sequences":${nSeqs.getOrElse(0L)}}""")
+      s""""sequences":${nSeqs.getOrElse(0L)},""" +
+      s""""bpe_merges":${merges.length},"train_bpe_tokens":$bpeToks}""")
     spark.stop()
   }
 }

@@ -710,6 +710,37 @@ class OpsSpec extends SparkTestBase {
       .sortBy(_._1).toSeq != base)
   }
 
+  test("BPE: deterministic merges, lossless encoding, trained counts") {
+    // the classic Sennrich fixture: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+    val freq = Bpe.wordFreq(corpus, "text")
+    assert(freq == Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L))
+    val merges = Bpe.trainFromFreq(freq, 10)
+    // ('e','s') and ('s','t') both count 9 — the lexicographic tie-break
+    // picks ('e','s'); the new 'es' symbol then pairs with 't' 9 times
+    assert(merges.take(2) == Seq(Bpe.Merge("e", "s"), Bpe.Merge("es", "t")))
+    // training is a pure function of the word-freq table: partitioning
+    // cannot change the merge list
+    assert(Bpe.train(corpus.repartition(5), "text", 10) == merges)
+    // encoding is lossless (merges only): concatenation restores the word
+    val ranks = merges.zipWithIndex
+      .map { case (m, i) => (m.left, m.right) -> i }.toMap
+    for (w <- freq.keys)
+      assert(Bpe.encodeWord(w, ranks).mkString == w)
+    // trained counts: fewer tokens than characters, more than words
+    val n = Bpe.tokenCount(corpus, "text", merges)
+      .select("n_bpe_tokens").as[Int].head()
+    val nChars = text.count(_ != ' ')
+    val nWords = 16
+    assert(n < nChars && n > nWords)
+    // zero merges degenerates to character count
+    assert(Bpe.tokenCount(corpus, "text", Seq.empty)
+      .select("n_bpe_tokens").as[Int].head() == nChars)
+  }
+
   test("materialized sequences tile the concatenated corpus exactly") {
     val rows = (0 until 40).map { i =>
       (i.toLong * 3 + 1, Seq.fill(i % 7 + 1)(s"w$i").mkString(" "))
@@ -734,6 +765,45 @@ class OpsSpec extends SparkTestBase {
       .orderBy("seq_id").select("seq_id", "n_seq_tokens", "seq_text")
       .as[(Long, Int, String)].collect()
     assert(out2.toSeq == out.toSeq)
+  }
+
+  test("packing invariants hold on randomized corpora") {
+    val rnd = new scala.util.Random(97)
+    for (_ <- 0 until 3) {
+      val nDocs = 20 + rnd.nextInt(30)
+      val ids = rnd.shuffle((0 until nDocs * 3).toList).take(nDocs)
+        .map(_.toLong)
+      val rows = ids.map(id =>
+        (id, Seq.fill(rnd.nextInt(13))(s"t$id").mkString(" ")))
+      val df = rows.toDF("doc_id", "text")
+      val seqLen = (8 + rnd.nextInt(25)).toLong
+      val man = Packing.packManifest(df, "text", "doc_id", seqLen)
+        .select("doc_id", "seq_id", "doc_off", "seq_off", "take_len")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val nToks = rows.map { case (id, t) =>
+        id -> t.split(" ").count(_.nonEmpty).toLong }.toMap
+      // per-doc segments sum to the doc's token count; zero-token docs
+      // contribute no rows
+      val byDoc = man.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+      for ((id, n) <- nToks if n > 0) assert(byDoc(id) == n)
+      assert(byDoc.keySet == nToks.filter(_._2 > 0).keySet)
+      val total = nToks.values.sum
+      if (total > 0) {
+        // per-sequence segments tile [0, seqLen) exactly, short last
+        val bySeq = man.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+        val lastSeq = (total - 1) / seqLen
+        for ((sq, s) <- bySeq)
+          assert(s == (if (sq == lastSeq) total - lastSeq * seqLen
+            else seqLen))
+        // materialized sequences reconstruct the concatenated stream
+        val outSeqs = Packing.materializeSequences(df, "text", "doc_id",
+            seqLen)
+          .orderBy("seq_id").select("seq_text").as[String].collect()
+        val stream = rows.sortBy(_._1)
+          .flatMap(_._2.split(" ").filter(_.nonEmpty))
+        assert(outSeqs.flatMap(_.split(" ")).toSeq == stream)
+      }
+    }
   }
 
   test("shuffle-then-pack: shuffle_pos feeds packSequences as a dense id") {
