@@ -630,6 +630,25 @@ object SparkEntry {
         .select("doc_id", "lang_pred", "split")
         .orderBy("doc_id")
     }),
+    "q_curation_decon" -> ((s, d) => {
+      // q_curation_rep plus eval-set decontamination as stage 0: corpus =
+      // doc_id % 10 != 7, benchmark = the % 10 == 7 split (same split as
+      // q_decontaminate); contaminated docs never enter the pipeline
+      import graft.ops.Curation
+      val docs = table(s, d, "documents")
+      Curation.curate(docs.filter(col("doc_id") % 10 =!= 7), "text",
+          "doc_id",
+          Curation.Config(shingleSize = 2, numHashes = 64, bands = 16,
+            minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+            minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+            fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
+            maxRepSpanPct = Some(5),
+            decontamWindowTokens = DupWindowTokens),
+          benchmark = Some(docs.filter(col("doc_id") % 10 === 7)))
+        .select("doc_id", "lang_pred", "split")
+        .orderBy("doc_id")
+    }),
     "q_curation_sem" -> ((s, d) => {
       // q_curation_lm plus the SemDeDup stage: semantic near-dups removed
       // among upstream survivors using the SAME materialized IVF cluster
@@ -1639,13 +1658,38 @@ object SparkEntry {
       maxTopGramPct: Option[Int] = None,
       maxRepSpanPct: Option[Int] = None,
       lmGate: Option[(Seq[(String, Long)], Long, Long)] = None,
-      semGate: Option[(Array[Array[Float]], Int, Double, Int)] = None): String = {
+      semGate: Option[(Array[Array[Float]], Int, Double, Int)] = None,
+      deconPred: Option[(Int, String)] = None): String = {
     val stopList = graft.ops.TextAnalysis.stopwords
       .map(s => s"'$s'").mkString(", ")
     val langsIn = keepLangs.map(l => s"'$l'").mkString(", ")
     // with the semantic stage on, every downstream gate reads the
     // post-SemDeDup survivor set
     val src = if (semGate.isDefined) "ssurv" else "surv"
+    // stage 0 (Curation.curate's benchmark param): eval-set
+    // decontamination — same window CTEs as decontamOracle, applied
+    // BEFORE exact dedup, so the corpus the rest of the statement reads
+    // is the decontaminated one
+    val corpusSrc = if (deconPred.isDefined) "dinput" else "documents"
+    val deconCtes = deconPred.map { case (l, pred) =>
+      s"""dtoks AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |dwins AS (
+         |  SELECT doc_id, unnest([array_to_string(t[i:i+${l - 1}], ' ')
+         |    for i in generate_series(1, len(t) - ${l - 1})]) AS gram
+         |  FROM dtoks WHERE len(t) >= $l),
+         |dbg AS (SELECT DISTINCT gram FROM dwins WHERE $pred),
+         |dbad AS (
+         |  SELECT DISTINCT doc_id FROM dwins JOIN dbg USING (gram)
+         |  WHERE NOT ($pred)),
+         |dinput AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE NOT ($pred)
+         |    AND doc_id NOT IN (SELECT doc_id FROM dbad)),
+         |""".stripMargin
+    }.getOrElse("")
     // SemDeDup stage (Curation.Semantic): same assignment / cap / pair /
     // cosine CTEs as semDedupOracle but restricted to upstream survivors,
     // then a second recursive min-label closure and the anti-join of
@@ -1773,10 +1817,10 @@ object SparkEntry {
         .getOrElse("") +
       maxRepSpanPct.map(p => s"\n    AND rs.repn * 100 <= $p * rs.nt")
         .getOrElse("")
-    s"""WITH RECURSIVE canon AS (
-       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    s"""WITH RECURSIVE ${deconCtes}canon AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM $corpusSrc GROUP BY md5(text)),
        |ek AS MATERIALIZED (
-       |  SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)),
+       |  SELECT d.doc_id, d.text FROM $corpusSrc d JOIN canon USING (doc_id)),
        |${minhashCtes("ek", shingleSize, numHashes, bands, seed, maxBucketSize)},
        |dpairs AS (
        |  SELECT idA, idB FROM verified
@@ -2586,6 +2630,13 @@ object SparkEntry {
       fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
       maxRepSpanPct = Some(5)),
+    "q_curation_decon" -> curationOracle(shingleSize = 2, numHashes = 64,
+      bands = 16, minJaccard = 0.5, seed = 42L, maxBucketSize = 64,
+      minQuality = 0.5, keepLangs = Seq("en"), splitSeed = "graft",
+      fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      repTopN = 2, repDupN = 3, maxTopGramPct = Some(8),
+      maxRepSpanPct = Some(5),
+      deconPred = Some((DupWindowTokens, "doc_id % 10 = 7"))),
     "q_bm25_topk" -> bm25WsOracle(BmTopkQuery, k1 = 1.2),
     "q_bm25_fuzzy_ws" -> bm25FuzzyWsOracle(BmFuzzyQuery, k1 = 1.2),
     "q_lsh_ann" -> lshOracle(dim = 64, nBits = 6, seed = 42L, k = 10),

@@ -67,7 +67,8 @@ object Curation {
       maxTopGramPct: Option[Int] = None,
       maxRepSpanPct: Option[Int] = None,
       lmMaxMeanNllMicro: Option[Long] = None,
-      lmOovNllMicro: Long = 20000000L)
+      lmOovNllMicro: Long = 20000000L,
+      decontamWindowTokens: Int = 8)
 
   /** Optional semantic-dedup stage input for [[curate]] (SemDeDup — the
     * embedding-space dedup after the text-space one): `clustered` is the
@@ -87,12 +88,28 @@ object Curation {
       minCosine: Double = 0.9,
       maxClusterSize: Int = 1024)
 
+  /** The one-call pipeline. `semantic` enables the SemDeDup stage (see
+    * [[Semantic]]); `benchmark` enables eval-set decontamination as
+    * STAGE 0 ([[Dedup.decontaminate]] — Brown et al. 2020 App. C): drop
+    * input docs sharing a `decontamWindowTokens`-token window with the
+    * benchmark table before anything else runs. Contamination is a
+    * per-document fact against a static benchmark, so running it first
+    * is both the cheapest placement (nothing downstream sees dropped
+    * docs) and order-independent. The unigram-LM lexicon still trains
+    * on the FULL original `df` (stable w.r.t. every gate).
+    */
   def curate(df: DataFrame, textCol: String, idCol: String,
       cfg: Config = Config(),
-      semantic: Option[Semantic] = None): DataFrame = {
-    val canon = Dedup.exactCanonicalIds(df, textCol, idCol)
+      semantic: Option[Semantic] = None,
+      benchmark: Option[DataFrame] = None): DataFrame = {
+    val input = benchmark match {
+      case None => df
+      case Some(b) =>
+        Dedup.decontaminate(df, b, textCol, idCol, cfg.decontamWindowTokens)
+    }
+    val canon = Dedup.exactCanonicalIds(input, textCol, idCol)
       .select(col("canonical_id").as(idCol))
-    val exactKept = df.join(canon, Seq(idCol), "left_semi")
+    val exactKept = input.join(canon, Seq(idCol), "left_semi")
     val textSurvivors =
       if (cfg.exactRecall)
         Dedup.survivorsFromPairs(exactKept, idCol,

@@ -236,6 +236,25 @@ class OpsSpec extends SparkTestBase {
       maxRepSpanPct = Some(5))) == Set(0L))
   }
 
+  test("curation decontamination stage drops benchmark-contaminated docs") {
+    // doc 1 shares the 4-token window "the quick brown fox" with the
+    // benchmark; every doc passes the other gates
+    val corpus = Seq(
+      (0L, "the stream parser reads tokens and emits the tree in order now"),
+      (1L, "see the quick brown fox running along the river bank tonight"),
+      (2L, "the winter garden of stone and light turns to silver mist today")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a benchmark question about the quick brown fox and its jumps")
+    ).toDF("doc_id", "text")
+    def kept(b: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      Curation.curate(corpus, "text", "doc_id",
+          Curation.Config(decontamWindowTokens = 4), None, b)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(None) == Set(0L, 1L, 2L)) // stage off: all pass
+    assert(kept(Some(bench)) == Set(0L, 2L))
+  }
+
   test("curation semantic stage drops the embedding near-dup loser") {
     // four docs pass every text gate; 1 is a SEMANTIC near-dup of 0
     // (nearly identical embedding, different enough text for minhash) and
