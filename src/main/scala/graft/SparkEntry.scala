@@ -260,6 +260,20 @@ object SparkEntry {
         .withColumn("k", lit(10))
         .select("k", "hits")
     }),
+    "q_ann_batch" -> ((s, d) => {
+      // batched IVF ANN (the vector msearch): 3 queries scored in ONE
+      // job — probe clusters explode from a broadcast query table, the
+      // corpus never shuffles, per-query top-5 via a qid-partitioned
+      // window; the oracle replays assignment, probes, cosine and the
+      // per-query ranking from the exported centroids
+      val e = table(s, d, "embeddings")
+      val (clustered, model) = ivfTableFor(s, d)
+      Similarity.ivfKnnBatch(clustered, "embedding", "vec_id", model,
+          e.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", k = 5, nprobe = 3)
+        .orderBy("qid", "rank")
+    }),
     "q_quality_class" -> ((s, d) => {
       table(s, d, "documents")
         .withColumn("cls",
@@ -2120,6 +2134,68 @@ object SparkEntry {
        |FROM (SELECT vec_id FROM a INTERSECT SELECT vec_id FROM b) z""".stripMargin
   }
 
+  /** DuckDB SQL replaying q_ann_batch from the exported centroids: the
+    * [[ivfOracle]] CTE chain generalized to a query SET — per-query
+    * probes and per-query ROW_NUMBER ranking, same FLOAT-subtraction
+    * assignment and explicit-order cosine folds.
+    */
+  private def ivfBatchOracle(centroids: Array[Array[Float]], dim: Int,
+      nprobe: Int, k: Int, qPred: String): String = {
+    val fold = SrpSql.fold(dim) _
+    val centRows = centroids.zipWithIndex.map { case (cv, i) =>
+      val lits = cv.map(x => SrpSql.dl(x.toDouble)).mkString("[", ", ", "]")
+      s"($i, $lits)"
+    }.mkString(",\n    ")
+    val dtermE = "CAST(CAST(CAST(e.embedding[i] AS DOUBLE) - c.cv[i] AS FLOAT) AS DOUBLE)"
+    val d2E = fold(s"$dtermE * $dtermE")
+    val dtermQ = "CAST(CAST(CAST(q.qv[i] AS DOUBLE) - c.cv[i] AS FLOAT) AS DOUBLE)"
+    val d2Q = fold(s"$dtermQ * $dtermQ")
+    val dotQ = fold("CAST(p.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)")
+    val nrmC = fold("CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)")
+    val nrmQ = fold("CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)")
+    s"""WITH cent AS (
+       |  SELECT * FROM (VALUES
+       |    $centRows) AS t(c, cv)),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE $qPred),
+       |d2 AS (
+       |  SELECT e.vec_id, c.c, $d2E AS d
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, c AS cluster FROM (
+       |    SELECT vec_id, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM d2) t WHERE rn = 1),
+       |qd2 AS (
+       |  SELECT q.qid, c.c, $d2Q AS d
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT qid, c FROM (
+       |    SELECT qid, c,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, c) AS rn
+       |    FROM qd2) t WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, e.vec_id, e.embedding, q.qv
+       |  FROM embeddings e
+       |  JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN probes p ON p.c = a.cluster
+       |  JOIN qs q ON q.qid = p.qid),
+       |scored AS (
+       |  SELECT qid, vec_id, $dotQ AS dot, sqrt($nrmC) * sqrt($nrmQ) AS nn
+       |  FROM cand p)
+       |SELECT qid, vec_id,
+       |  CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END AS score,
+       |  CAST(rk AS INT) AS rank
+       |FROM (
+       |  SELECT qid, vec_id, dot, nn, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY
+       |      CASE WHEN nn > 0 THEN dot / nn ELSE CAST(0.0 AS DOUBLE) END DESC,
+       |      vec_id) AS rk
+       |  FROM scored) z
+       |WHERE rk <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB SQL replaying q_domain_mix from the exported per-domain keep
     * fractions (exact Double round-trip literals): the same "seed|key"
     * md5-lower-64 row hash and the same floor(f * 2^64) cuts, generated
@@ -2285,7 +2361,9 @@ object SparkEntry {
         "q_semdedup_incr" -> semDedupOracle(cents, dim = 64,
           minCosine = 0.3, maxClusterSize = 1024,
           touch = "idA % 4 = 3 OR idB % 4 = 3"),
-        "q_ann_recall" -> annRecallOracle(cents))
+        "q_ann_recall" -> annRecallOracle(cents),
+        "q_ann_batch" -> ivfBatchOracle(cents, dim = 64, nprobe = 3,
+          k = 5, qPred = "vec_id < 3"))
     }.getOrElse(Map.empty)
     // q_bm25_fuzzy: the (token -> analyzed term) map the contract query
     // exported from THIS sf dir's corpus; absent (premise failed or query

@@ -294,6 +294,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF ANN — the vector msearch: score MANY queries in one
+    * job instead of one driver round-trip each. `queries` is a
+    * (qid, vector) table, definitionally small next to the corpus: each
+    * query row expands to its `nprobe` probe clusters through the frozen
+    * model (a broadcast UDF — no driver loop), the probe table
+    * BROADCAST-joins the clustered corpus on ivf_cluster (the corpus
+    * never shuffles; a partitionBy("ivf_cluster") source admits dynamic
+    * partition pruning), exact cosine per (query, candidate), and the
+    * per-query top-k is a window partitioned by query id — bounded
+    * groups, never a global sort. Output (qidCol, idCol, score, rank),
+    * rank 1-based per query.
+    */
+  def ivfKnnBatch(clustered: DataFrame, vecCol: String, idCol: String,
+      model: IvfModel, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = clustered.sparkSession.sparkContext.broadcast(model)
+    val probesU = udf((v: Seq[Float]) =>
+      if (v == null) Seq.empty[Int]
+      else bc.value.probes(v.toArray, nprobe))
+    val probeTbl = broadcast(queries
+      .select(col(qidCol).as("_qid"), col(qvecCol).as("_qv"))
+      .withColumn("ivf_cluster", explode(probesU(col("_qv")))))
+    val w = Window.partitionBy("_qid").orderBy(desc("score"), col(idCol))
+    clustered.join(probeTbl, Seq("ivf_cluster"))
+      .select(col("_qid"), col(idCol),
+        cosine(col(vecCol), col("_qv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col(idCol), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Quantized dot-product top-k: vectors quantized to round(x*1000) —
     * exact integer math, used as the cross-engine SQL-checkable variant
     * (float summation order can differ between engines; ints cannot).

@@ -881,6 +881,31 @@ class OpsSpec extends SparkTestBase {
       .contains(Dedup.CapDrops(4, 100)))
   }
 
+  test("batched IVF ANN equals the per-query probe") {
+    val dim = 8
+    val rnd = new scala.util.Random(53)
+    val rows = (0L until 100L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val model = Similarity.IvfModel(
+      Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val clustered = Similarity.withIvfCluster(
+      rows.toDF("vec_id", "embedding"), "embedding", model)
+    val queries = rows.take(5).toDF("qid", "embedding")
+    val batch = Similarity.ivfKnnBatch(clustered, "embedding", "vec_id",
+        model, queries, "qid", "embedding", k = 7, nprobe = 2)
+      .select("qid", "vec_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(batch.keySet == (0L until 5L).toSet)
+    for ((qid, qv) <- rows.take(5)) {
+      val single = Similarity.ivfKnn(clustered, "embedding", "vec_id",
+          model, qv, 7, nprobe = 2)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid")
+    }
+  }
+
   test("incremental SemDeDup equals full pairs touching the batch") {
     val dim = 8
     val rnd = new scala.util.Random(47)
