@@ -507,6 +507,16 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    "q_domain_take" -> ((s, d) => {
+      // exact-count per-domain budgets ("100 en / 40 fr / 10 zh"):
+      // deterministic shuffle-order pick per domain via the two-level
+      // scan; quotas are literals, so the oracle is static
+      Sampling.takePerDomain(table(s, d, "documents"), col("doc_id"),
+          col("lang"), MixSeed,
+          Map("en" -> 100L, "fr" -> 40L, "zh" -> 10L))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "q_shuffle" -> ((s, d) => {
       // deterministic global training order: exact rank in (hash, key)
       // order via the two-level bucketed scan (never a single-partition
@@ -2683,6 +2693,15 @@ object SparkEntry {
       touch = "idA % 4 = 3 OR idB % 4 = 3"),
     "q_split" -> splitOracle("graft",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "q_domain_take" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY
+         |      md5_number_lower('${MixSeed}|' || CAST(doc_id AS VARCHAR)),
+         |      doc_id) AS rn
+         |  FROM documents WHERE lang IN ('en', 'fr', 'zh'))
+         |WHERE rn <= CASE lang WHEN 'en' THEN 100 WHEN 'fr' THEN 40 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
     "q_shuffle" ->
       s"""SELECT doc_id,
          |  CAST(ROW_NUMBER() OVER (ORDER BY

@@ -193,6 +193,56 @@ object Sampling {
       .drop("_hs", "_bkt")
   }
 
+  /** EXACT-count per-domain selection: keep exactly min(quota_d, n_d)
+    * rows of each quota'd domain — the deterministic-exact complement of
+    * [[domainMix]]'s expected-proportion sampling ("10k docs per
+    * language" budgets, epoch manifests, eval subsets). Selection order
+    * is (row-hash, key) within the domain, so the result is a pure
+    * function of (seed, key set) — reproducible at any parallelism — and
+    * has the PREFIX property: the quota-q selection is a subset of any
+    * larger quota's (growing a budget only adds rows). Domains without a
+    * quota are dropped.
+    *
+    * Shape: the [[shuffleRank]] two-level scan generalized per domain —
+    * rows bucket by the top bits of the sign-flipped hash, per-(domain,
+    * bucket) counts collect (#domains × numRanges rows — tiny),
+    * per-domain offsets broadcast as a literal map, and the within-bucket
+    * rank is a window partitioned by (domain, bucket): no per-domain
+    * single partition even when one domain dominates the corpus.
+    */
+  def takePerDomain(df: DataFrame, keyCol: Column, domainCol: Column,
+      seed: String, quotas: Map[String, Long],
+      numRanges: Int = 64): DataFrame = {
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 0L),
+      "quotas must be non-negative")
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, numRanges.toLong - 1L))
+    val base = df
+      .withColumn("_dom", domainCol.cast("string"))
+      .filter(col("_dom").isin(quotas.keys.toSeq: _*))
+      .withColumn("_hs", rowHash(keyCol, seed).bitwiseXOR(lit(Long.MinValue)))
+      .withColumn("_bkt",
+        if (bits == 0) lit(0L) else shiftright(col("_hs"), 64 - bits))
+    val counts = base.groupBy("_dom", "_bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (counts.isEmpty)
+      return base.drop("_dom", "_hs", "_bkt").limit(0)
+    val offsets: Map[String, Long] = counts.groupBy(_._1).flatMap {
+      case (dom, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2).zip(
+          sorted.map(_._3).scanLeft(0L)(_ + _).init)
+          .map { case (bkt, off) => s"$dom|$bkt" -> off }
+    }
+    val offCol = element_at(typedLit(offsets),
+      concat_ws("|", col("_dom"), col("_bkt")))
+    val w = Window.partitionBy("_dom", "_bkt").orderBy(col("_hs"), keyCol)
+    base
+      .withColumn("_pos", offCol + row_number().over(w).cast("long") - 1L)
+      .filter(col("_pos") < element_at(typedLit(quotas), col("_dom")))
+      .drop("_dom", "_hs", "_bkt", "_pos")
+  }
+
   /** Per-stratum fractions (e.g. downsample dominant languages): rows in a
     * stratum missing from `fractions` keep `defaultFraction`.
     */

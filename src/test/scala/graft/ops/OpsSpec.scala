@@ -703,6 +703,35 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(frTok("zh") - 0.5) < 1e-12) // 0.1 * 2500 / 500
   }
 
+  test("takePerDomain: exact counts, prefix property, shuffle-order pick") {
+    val rows = (0L until 1500L).map { i =>
+      (i, if (i < 900) "en" else if (i < 1300) "de" else "zh")
+    }.toDF("id", "lang")
+    def take(df: org.apache.spark.sql.DataFrame, q: Map[String, Long],
+        nr: Int = 64): Set[Long] =
+      Sampling.takePerDomain(df, col("id"), col("lang"), "tk0", q, nr)
+        .select("id").as[Long].collect().toSet
+    val got = take(rows, Map("en" -> 300L, "de" -> 100L, "zh" -> 700L))
+    // exact counts: quota where available, everything where not; unlisted
+    // domains drop entirely
+    val byDom = got.groupBy(id => if (id < 900) "en" else if (id < 1300) "de" else "zh")
+    assert(byDom("en").size == 300 && byDom("de").size == 100 &&
+      byDom("zh").size == 200) // zh has only 200 rows
+    assert(take(rows, Map("en" -> 300L)).forall(_ < 900))
+    // matches the definitional pick: first-q in (hash, key) order per domain
+    val expected = (0L until 900L)
+      .sortBy(id => (graft.functions.CrossHash.md5Lower64("tk0|" + id)
+        ^ Long.MinValue, id)).take(300).toSet
+    assert(byDom("en") == expected)
+    // prefix property + partitioning/bucket-count invariance
+    val small = take(rows, Map("en" -> 120L))
+    assert(small.subsetOf(byDom("en")))
+    // per-domain selection is independent of other domains' quotas, and
+    // invariant to partitioning and bucket count
+    assert(take(rows.repartition(11), Map("en" -> 300L), nr = 7)
+      == byDom("en"))
+  }
+
   test("shuffleRank: exact permutation, invariant to partitioning/ranges") {
     val rows = spark.range(0, 1000).toDF("id")
     def run(df: org.apache.spark.sql.DataFrame, nr: Int): Seq[(Long, Long)] =

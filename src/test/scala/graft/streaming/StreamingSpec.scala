@@ -330,6 +330,13 @@ class StreamingSpec extends SparkTestBase {
     assert(full.contains((0L, 1L))) // near-identical vectors share a cluster
     assert(got.toSet == full, s"stream=${got.sorted} full=${full.toSeq.sorted}")
     assert(got.length == full.size, "every pair exactly once across batches")
+    // crash-replay idempotency: re-running the last batch overwrites its
+    // own partitions; converged output unchanged
+    StreamingDedup.semanticSweepBatch(vecs.drop(10).toDF("vec_id", "embedding"),
+      2L, "embedding", "vec_id", state, model, 0.9, 1024)
+    val replay = spark.read.parquet(s"$state/pairs")
+      .select("idA", "idB").as[(Long, Long)].collect()
+    assert(replay.toSet == full && replay.length == full.size)
   }
 
   test("embedding streaming sweep telescopes to the full batch run") {
