@@ -703,6 +703,23 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(frTok("zh") - 0.5) < 1e-12) // 0.1 * 2500 / 500
   }
 
+  test("sampling edge cases: zero/full fractions, zero and absent quotas") {
+    val rows = spark.range(0, 100).toDF("id")
+    assert(Sampling.sample(rows, col("id"), "s", 1.0).count() == 100)
+    assert(Sampling.sample(rows, col("id"), "s", 0.0).count() == 0)
+    val one = rows.withColumn("lang", lit("en"))
+    assert(Sampling.takePerDomain(one, col("id"), col("lang"), "s",
+      Map("en" -> 0L)).count() == 0)
+    // quota for a domain absent from the data: empty result (the
+    // counts-empty early return), schema intact
+    val absent = Sampling.takePerDomain(one, col("id"), col("lang"), "s",
+      Map("de" -> 5L))
+    assert(absent.count() == 0 && absent.columns.toSeq == Seq("id", "lang"))
+    // all mixture weight on the only present domain keeps it whole
+    assert(Sampling.domainMixFractions(one, col("lang"),
+      Map("en" -> 1.0))("en") == 1.0)
+  }
+
   test("takePerDomain: exact counts, prefix property, shuffle-order pick") {
     val rows = (0L until 1500L).map { i =>
       (i, if (i < 900) "en" else if (i < 1300) "de" else "zh")
