@@ -102,13 +102,25 @@ object Curation {
       cfg: Config = Config(),
       semantic: Option[Semantic] = None,
       benchmark: Option[DataFrame] = None): DataFrame = {
+    // Decide with small rows, attach once (guide §8): each stage's id-set
+    // decision materializes ONCE (tiny — contaminated ids, canonical ids),
+    // so the many downstream plan branches that re-derive the gated corpus
+    // (signature scan, verify scan, anti-join tail, gates) re-run only a
+    // parquet scan + broadcast id joins — never the window-UDF / md5
+    // aggregations that made the decision (round 5 left these lazy and the
+    // decontamination scan alone re-executed once per branch).
     val input = benchmark match {
       case None => df
       case Some(b) =>
-        Dedup.decontaminate(df, b, textCol, idCol, cfg.decontamWindowTokens)
+        val bad = Dedup.contaminationCounts(df, b, textCol, idCol,
+            cfg.decontamWindowTokens)
+          .select(col("doc_id").as(idCol))
+          .localCheckpoint(true)
+        df.join(bad, Seq(idCol), "left_anti")
     }
     val canon = Dedup.exactCanonicalIds(input, textCol, idCol)
       .select(col("canonical_id").as(idCol))
+      .localCheckpoint(true)
     val exactKept = input.join(canon, Seq(idCol), "left_semi")
     val textSurvivors =
       if (cfg.exactRecall)

@@ -38,29 +38,56 @@ object Dedup {
     */
   def lastCapDrops(op: String): Option[CapDrops] = capDropsByOp.get(op)
 
-  /** Bucket-width cap with the drop audit: computes per-bucket widths over
-    * `partCols`, materializes ONCE (the self-joins read these rows from two
-    * plan branches — a lazy frame would re-run the hashing UDF and the cap
-    * window per branch), counts what the cap drops in one cheap scan of the
-    * materialized blocks, records it under `op` (see [[lastCapDrops]]) and
-    * WARNs with auto-sizing `guidance`, then returns the surviving rows.
+  /** Bucket-width cap with the drop audit: materializes `rows` ONCE (the
+    * self-joins read these rows from two plan branches — a lazy frame would
+    * re-run the hashing UDF per branch), then sizes buckets with a partial
+    * (map-side) aggregation whose exchange carries one (key, count) row
+    * per bucket per map partition — never the rows themselves (round 5
+    * shipped this as a count window, which shuffled the FULL row set by
+    * bucket key and re-scanned it for the audit; guide §2.3 "aggregate
+    * before you shuffle"). Over-cap buckets are by construction the
+    * exceptional degenerate keys, so the audit reads the tiny bad-bucket
+    * list and the surviving rows come from a broadcast anti-join against
+    * it — the capped row set itself never pays an exchange. Drops are
+    * recorded under `op` (see [[lastCapDrops]]) and WARN-logged with
+    * auto-sizing `guidance`, exactly as before.
     */
   private def capBucketsAudited(rows: DataFrame, partCols: Seq[String],
-      cap: Int, op: String, guidance: String): DataFrame = {
-    val wB = Window.partitionBy(partCols.map(col): _*)
-    val withBsz = rows.withColumn("bsz", count(lit(1)).over(wB))
+      cap: Int, op: String, guidance: String,
+      spreadIfNarrow: Boolean = false): DataFrame = {
+    val keys = partCols.map(col)
+    val m0 = rows.localCheckpoint(true)
+    // opt-in scale-adaptive spread (guide §2) for operators whose
+    // downstream join AQE turns into a broadcast join — there the capped
+    // rows become the STREAM side and inherit this checkpoint's width, so
+    // a small/few-file input would serialize the per-pair verify UDF on
+    // 1-2 tasks (the round-5 window shuffle provided parallelism by
+    // accident). The width probe reads the checkpointed RDD — free, it is
+    // already computed; probing the un-executed plan would make AQE run
+    // every upstream stage once just to answer — and the re-spread is
+    // LAZY: each consuming branch pays one round-robin shuffle of
+    // already-materialized blocks, trivial at the sizes where this fires
+    // and never firing when the scan is already wide. Operators whose
+    // self-join shuffles both sides by bucket key get their parallelism
+    // from that exchange and skip the probe entirely.
+    val m =
+      if (spreadIfNarrow) {
+        val par = rows.sparkSession.sparkContext.defaultParallelism
+        if (m0.rdd.getNumPartitions < par) m0.repartition(par) else m0
+      } else m0
+    // sizing reads the un-spread blocks (partial agg needs no width)
+    val bad = m0.groupBy(keys: _*).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
       .localCheckpoint(true)
-    val d = withBsz.filter(col("bsz") > cap)
-      .agg(countDistinct(struct(partCols.map(col): _*)).as("b"),
-        count(lit(1)).as("r"))
-      .head()
+    val d = bad.agg(count(lit(1)).as("b"),
+      coalesce(sum("bsz"), lit(0L)).as("r")).head()
     val drops = CapDrops(d.getLong(0), d.getLong(1))
     capDropsByOp.put(op, drops)
     if (drops.droppedRows > 0)
       log.warn(s"$op: maxBucketSize=$cap dropped ${drops.droppedBuckets} " +
         s"bucket(s) / ${drops.droppedRows} row(s) before the self-join — " +
         s"pairs inside them cannot surface from this key. $guidance")
-    withBsz.filter(col("bsz") <= cap).drop("bsz")
+    m.join(broadcast(bad.select(keys: _*)), partCols, "left_anti")
   }
 
   /** Integral-id guard for operators that cast the id column to long: a
@@ -387,7 +414,10 @@ object Dedup {
       maxBucketSize, "embeddingNearDupPairs",
       "The 2^nBits key space is FIXED — expected bucket width is " +
         "n/2^nBits, so grow nBits with the corpus: " +
-        "nBits >= log2(n / maxBucketSize).")
+        "nBits >= log2(n / maxBucketSize).",
+      // the b side broadcasts under AQE, so the probe side's cosine work
+      // parallelizes only as wide as these blocks — spread when narrow
+      spreadIfNarrow = true)
     val b = capped.select(col("srp_bucket"), col("_id").as("idB"), col("_v").as("vb"))
     val cosU = exactCosineUdf
     val aHome = capped.select(col("srp_bucket"), col("_id").as("idA"), col("_v").as("va"))
@@ -744,16 +774,33 @@ object Dedup {
       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    dupGramAgg(dupCandidateWindows(df, textCol, idCol, windowTokens,
+      minDocs), minDocs)
+  }
+
+  /** Positional windows whose HASH occurs in >= minDocs documents — the
+    * shared candidate phase of [[duplicateSubstrings]] /
+    * [[duplicateSpanCoverage]] / [[trimDuplicateSpans]] (phase 1 shuffles
+    * only (gh, doc_id) pairs with map-side partial aggregation; wide gram
+    * strings move only for surviving windows).
+    */
+  private def dupCandidateWindows(df: DataFrame, textCol: String,
+      idCol: String, windowTokens: Int, minDocs: Int): DataFrame = {
     val wins = tokenWindowRows(df, textCol, idCol, windowTokens)
     val hot = wins.select("gh", "doc_id").groupBy("gh")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs).select("gh")
     wins.join(hot, "gh")
-      .groupBy("gram")
+  }
+
+  /** The exact group-by-gram over candidate windows with the n_docs
+    * re-filter (hash collisions harmless — output exact, recall 1.0).
+    */
+  private def dupGramAgg(cand: DataFrame, minDocs: Int): DataFrame =
+    cand.groupBy("gram")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
       .select("gram", "n_docs", "n_occ")
-  }
 
   /** The persistable gram store behind [[duplicateSubstringsIncremental]]:
     * one row per (gram, document) with its occurrence count — the
@@ -800,20 +847,21 @@ object Dedup {
     * corpus document sharing at least one L-token window with the
     * benchmark table, the number of its window positions whose gram also
     * occurs in the benchmark. 100-TB shape: the benchmark side is
-    * definitionally small (eval sets), so phase 1 semi-joins the corpus
-    * windows against a BROADCAST set of the benchmark's 8-byte window
-    * hashes — the corpus never shuffles — and phase 2 re-verifies the
-    * surviving candidates on the exact gram string (collisions harmless,
-    * recall 1.0, the [[duplicateSubstrings]] candidate/verify signature).
+    * definitionally small (eval sets), so the corpus windows semi-join ONE
+    * broadcast of the benchmark's distinct (hash, gram) windows — the
+    * corpus never shuffles, and hash+gram in a single join key means
+    * collisions are harmless and recall is 1.0 (round 5 ran this as two
+    * chained broadcast semi-joins — a hash-only prefilter, then the gram
+    * verify — which windowed the benchmark twice and built two broadcast
+    * relations for the same pruning power; if the benchmark's gram strings
+    * ever outgrow one broadcast, reinstate the hash-only first phase).
     */
   def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, windowTokens: Int = 8): DataFrame = {
     val cw = tokenWindowRows(corpus, textCol, idCol, windowTokens)
     val bw = tokenWindowRows(benchmark, textCol, idCol, windowTokens)
       .select("gh", "gram").distinct()
-    val cand = cw.join(broadcast(bw.select("gh").distinct()),
-      Seq("gh"), "left_semi")
-    cand.join(broadcast(bw), Seq("gh", "gram"), "left_semi")
+    cw.join(broadcast(bw), Seq("gh", "gram"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated"))
   }
@@ -837,20 +885,22 @@ object Dedup {
     * n_dup_tokens)`; the fraction is left to the caller so every column
     * stays integral (cross-engine-exact).
     *
-    * Shape: the duplicated-gram set (small — only grams seen in >= minDocs
-    * documents) joins back to the positional windows by exact gram text
-    * (broadcast-suited); covered positions explode per SURVIVING window
-    * only, then one distinct + count per document. Windows are recomputed
-    * (two cheap UDF scans of the corpus) rather than materialized — at
-    * scale two scans beat persisting an L-times-the-corpus intermediate.
+    * Shape: the hash-surviving candidate windows materialize ONCE and feed
+    * BOTH the exact gram aggregation and the covered-position join (the
+    * corpus-wide window stream itself is never persisted — only windows
+    * whose 8-byte hash already occurs in >= minDocs documents, the
+    * duplication-bounded set; round 5 recomputed the full window UDF scan
+    * for the join, a third pass over the corpus). A window joins the
+    * duplicated-gram set by exact gram text; covered positions explode per
+    * surviving window only, then one distinct + count per document.
     */
   def duplicateSpanCoverage(df: DataFrame, textCol: String, idCol: String,
       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    val wins = tokenWindowRows(df, textCol, idCol, windowTokens)
-    val dupGrams =
-      duplicateSubstrings(df, textCol, idCol, windowTokens, minDocs)
-        .select("gram")
-    val covered = wins.join(dupGrams, "gram")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val cand = dupCandidateWindows(df, textCol, idCol, windowTokens, minDocs)
+      .localCheckpoint(true)
+    val dupGrams = dupGramAgg(cand, minDocs).select("gram")
+    val covered = cand.join(dupGrams, "gram")
       .select(col("doc_id"),
         explode(sequence(col("pos"),
           col("pos") + lit(windowTokens - 1))).as("p"))
@@ -885,11 +935,13 @@ object Dedup {
     */
   def trimDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    val wins = tokenWindowRows(df, textCol, idCol, windowTokens)
-    val dupGrams =
-      duplicateSubstrings(df, textCol, idCol, windowTokens, minDocs)
-        .select("gram")
-    val covered = wins.join(dupGrams, "gram")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // shared candidate phase materialized once for the gram aggregation
+    // and the covered-position join — see duplicateSpanCoverage
+    val cand = dupCandidateWindows(df, textCol, idCol, windowTokens, minDocs)
+      .localCheckpoint(true)
+    val dupGrams = dupGramAgg(cand, minDocs).select("gram")
+    val covered = cand.join(dupGrams, "gram")
       .select(col("doc_id"),
         explode(sequence(col("pos"),
           col("pos") + lit(windowTokens - 1))).as("p"))
@@ -981,13 +1033,21 @@ object Dedup {
       .select(col(idACol).cast("long").as("src"),
         col(idBCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    // no distinct: min() aggregation is duplicate-insensitive, so repeated
+    // pairs cost join fan-out only (pair generators already dedup) — the
+    // distinct was a full extra exchange + materialization per call
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
+    // seed labels with round 1's neighbor-min for free: one aggregation
+    // over the edge list replaces BOTH the distinct-ids materialization
+    // and the first loop round's three joins (label(v) = min(v, min
+    // neighbor) is exactly what round 1 would compute from identity
+    // labels); the min-label fixpoint is unique, so seeding cannot change
+    // the result, only the round count
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -1003,8 +1063,12 @@ object Dedup {
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // (b) pointer jump: label := label(label) — compresses chains so a
-      // long path converges logarithmically
-      val byLabel = labels
+      // long path converges logarithmically. The jump table reads the
+      // POST-neighbor-min labels (propagated), not the round's input:
+      // fresher pointers contract strictly further per round (one round
+      // fewer on the SemDeDup chain graphs), and any intermediate label
+      // state reaches the same unique min-label fixpoint
+      val byLabel = propagated
         .select(col("id").as("label"), col("label").as("jump"))
       val next = propagated.join(byLabel, Seq("label"), "left")
         .select(col("id"), col("prev"),

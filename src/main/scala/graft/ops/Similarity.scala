@@ -214,27 +214,32 @@ object Similarity {
     // over that O(n) superset. The top-n RESULT is unchanged (the filter
     // keeps every true top-n row unless fewer than trainSample survive —
     // astronomically unlikely at 4x margin, and detected + fallen back on).
-    val train = {
-      val bounded =
-        if (trainSample <= 0) keyed
-        else {
-          val total = keyed.count()
-          if (total <= 4L * trainSample) keyed
-          else {
-            val frac = 4.0 * trainSample / total
-            val thresh = (Long.MinValue.toDouble + frac * 1.8446744073709552E19).toLong
-            val candidates = keyed.filter(col("h") < thresh)
-            if (candidates.count() >= trainSample) candidates else keyed
-          }
-        }
-      // TakeOrdered top-n (no full sort), re-spread so the iteration scans
-      // parallelize, then materialized so each iteration reads the sample —
-      // not the corpus — and the lineage doesn't re-run the top-n per pass
-      (if (trainSample > 0)
-        bounded.orderBy("h", "_id").limit(trainSample.toInt)
-          .repartition(spark.sparkContext.defaultParallelism)
-      else bounded)
+    // TakeOrdered top-n (no full sort), re-spread so the iteration scans
+    // parallelize, then materialized so each iteration reads the sample —
+    // not the corpus — and the lineage doesn't re-run the top-n per pass
+    def sampleOf(src: org.apache.spark.sql.DataFrame) =
+      src.orderBy("h", "_id").limit(trainSample.toInt)
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(true)
+    val train = {
+      if (trainSample <= 0) keyed.localCheckpoint(true)
+      else {
+        val total = keyed.count()
+        if (total <= 4L * trainSample) sampleOf(keyed)
+        else {
+          val frac = 4.0 * trainSample / total
+          val thresh = (Long.MinValue.toDouble + frac * 1.8446744073709552E19).toLong
+          val fromFiltered = sampleOf(keyed.filter(col("h") < thresh))
+          // under-sampling guard folded into the materialized sample (one
+          // filtered scan) instead of a separate candidates.count() full
+          // pass: the filtered top-n equals the true top-n EXACTLY when
+          // the filter kept >= trainSample rows, i.e. when the sample came
+          // back full — so the fallback decision is a row count of the
+          // checkpointed sample, not another corpus scan
+          if (fromFiltered.count() >= trainSample) fromFiltered
+          else sampleOf(keyed)
+        }
+      }
     }
     val init: Array[Array[Float]] = train
       .orderBy("h", "_id")
