@@ -73,6 +73,24 @@ object EntryOps {
     */
   def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * 100).cast("long")
+
+  /** Scale-adaptive scan spread (optimization guide §2.5: "one huge
+    * unsplittable file ... repartition immediately after the read"): the
+    * sf test tables are single-row-group parquet files, so Spark's split
+    * math cannot parallelize their scans and every pre-shuffle map (UDF
+    * detection, JSON parsing, regex scrubbing, partial aggregation) runs
+    * on ONE task no matter the core count. Round-robin repartition ONLY
+    * when the planned scan is narrower than the session's parallelism —
+    * a production-width scan is untouched and pays no exchange. Safe only
+    * on exchange-free plans (a bare scan): `.rdd` on a plan with
+    * exchanges would make AQE execute its stages just to report widths.
+    * Use on queries whose per-row map work dominates; results are
+    * unaffected (row order is re-established by each query's ORDER BY).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -96,7 +114,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (P/A/O/J/set ops, SURVEY §2.2-2.7) ----
     "q1_agg" -> ((s, d) => {
-      table(s, d, "lineitem")
+      spread(table(s, d, "lineitem"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
@@ -295,7 +313,7 @@ object SparkEntry {
         .limit(100)
     }),
     "q_json_extract" -> ((s, d) => {
-      table(s, d, "events")
+      spread(table(s, d, "events"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .filter(col("k") >= 50)
@@ -307,7 +325,7 @@ object SparkEntry {
       // implemented faithfully) rejects a digit run flush against '}', so
       // raw JSON would detect nothing — detection runs over the
       // space-tokenized form; the digit-run oracle is unaffected
-      table(s, d, "events")
+      spread(table(s, d, "events"))
         .select(col("event_id"),
           explode(df.detect_numbers(translate(col("props"), "{}", "  "))).as("m"))
         .select(col("event_id"), col("m._1").as("value"))
@@ -785,7 +803,7 @@ object SparkEntry {
           concat(col("text"), lit(" call "), phone, lit(" or "), email))
         .otherwise(col("text"))
       TextAnalysis.piiScrub(
-          table(s, d, "documents").filter(size(w) >= 3)
+          spread(table(s, d, "documents")).filter(size(w) >= 3)
             .withColumn("text", injected), "text")
         .select(col("doc_id"),
           col("n_emails").cast("int").as("n_emails"),
@@ -811,7 +829,7 @@ object SparkEntry {
           concat(col("text"), lit(" see http://cdn.example.net:8080/x?q="),
             element_at(w, 2), lit(" and "), benign))
         .otherwise(col("text"))
-      val base = table(s, d, "documents").filter(size(w) >= 3)
+      val base = spread(table(s, d, "documents")).filter(size(w) >= 3)
         .withColumn("text", injected)
       TextAnalysis.urlScrub(
           TextAnalysis.domainBlocklistFilter(base, "text", UrlBlocklist),

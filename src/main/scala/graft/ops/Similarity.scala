@@ -41,13 +41,26 @@ object Similarity {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
+  /** Compiled scoring twin of [[cosine]] for the scan-side ANN paths:
+    * Spark evaluates higher-order-function expressions INTERPRETED per
+    * array element, and the [[cosine]] expression additionally re-walks
+    * each vector five times (dot + two norms, the norms twice through the
+    * CASE guard) — the compiled one-pass fold is the [[Dedup]] dedup
+    * kernel (`exactCosineUdf`), whose left-to-right double summation is
+    * bit-identical to the expression's 0.0-seeded left fold (0.0 + x ≡ x
+    * in IEEE), so every oracle replay is unchanged. The Column [[cosine]]
+    * stays for expression-level callers.
+    */
+  private[ops] def cosineKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    Dedup.exactCosineUdf
+
   /** Brute-force cosine top-k against a literal query vector.
     * Returns (idCol, score) ordered (score desc, id asc).
     */
   def bruteKnn(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int): DataFrame = {
     val q = typedLit(query.toSeq)
-    df.select(col(idCol), cosine(col(vecCol), q).as("score"))
+    df.select(col(idCol), cosineKernel(col(vecCol), q).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
@@ -120,7 +133,7 @@ object Similarity {
     val probes = model.probesFor(query, probeHamming)
     val q = typedLit(query.toSeq)
     bucketed.filter(col("srp_bucket").isin(probes: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .select(col(idCol), cosineKernel(col(vecCol), q).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
@@ -294,7 +307,7 @@ object Similarity {
     val probeIds = model.probes(query, nprobe)
     val q = typedLit(query.toSeq)
     clustered.filter(col("ivf_cluster").isin(probeIds: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .select(col(idCol), cosineKernel(col(vecCol), q).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
@@ -325,7 +338,7 @@ object Similarity {
     val w = Window.partitionBy("_qid").orderBy(desc("score"), col(idCol))
     clustered.join(probeTbl, Seq("ivf_cluster"))
       .select(col("_qid"), col(idCol),
-        cosine(col(vecCol), col("_qv")).as("score"))
+        cosineKernel(col(vecCol), col("_qv")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("_qid").as(qidCol), col(idCol), col("score"),
