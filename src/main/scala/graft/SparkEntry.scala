@@ -945,13 +945,26 @@ object SparkEntry {
         .write.mode("overwrite").partitionBy("ivf_cluster")
         .parquet(s"$ivfDir/table")
     }
-    val model = Similarity.IvfModel(
-      s.read.parquet(s"$ivfDir/centroids").orderBy("cluster")
-        .select("centroid").as[Seq[Float]].collect().map(_.toArray))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$ivfDir/centroids.txt"),
-      model.centroids.map(_.map(_.toString).mkString(","))
-        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // model reload prefers the exact-literal sidecar (Float.toString
+    // round-trips exactly, so this IS the trained model): after the first
+    // load the per-query cost is a file read, not a Spark collect job;
+    // the parquet copy stays authoritative when the sidecar is absent
+    val txtPath = java.nio.file.Paths.get(s"$ivfDir/centroids.txt")
+    val model =
+      if (java.nio.file.Files.exists(txtPath))
+        Similarity.IvfModel(
+          new String(java.nio.file.Files.readAllBytes(txtPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").map(_.split(",").map(_.toFloat)))
+      else {
+        val m = Similarity.IvfModel(
+          s.read.parquet(s"$ivfDir/centroids").orderBy("cluster")
+            .select("centroid").as[Seq[Float]].collect().map(_.toArray))
+        java.nio.file.Files.write(txtPath,
+          m.centroids.map(_.map(_.toString).mkString(","))
+            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        m
+      }
     (s.read.parquet(s"$ivfDir/table"), model)
   }
 
@@ -1010,7 +1023,9 @@ object SparkEntry {
   private def wsBm25Contract(s: SparkSession, d: String, query: String,
       fuzzy: Boolean): DataFrame = {
     val dir = wsIndexFor(s, d)
-    val k = table(s, d, "documents").count().toInt + 1
+    // corpus row count from the committed snapshot (numDocs is the same
+    // documents table this index was built over) — no count job
+    val k = graft.index.Snapshot.load(dir).get.numDocs.toInt + 1
     val hits = Searcher.search(s, dir, query, k, fuzzy)
     rankQuantized(s, dir, hits)
   }
@@ -1057,7 +1072,7 @@ object SparkEntry {
       java.nio.file.Files.write(sidecar,
         lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } else java.nio.file.Files.deleteIfExists(sidecar)
-    val k = table(s, d, "documents").count().toInt + 1
+    val k = graft.index.Snapshot.load(dir).get.numDocs.toInt + 1
     val hits = Searcher.search(s, dir, BmFuzzyStdQuery, k, fuzzy = true)
     rankQuantized(s, dir, hits)
   }

@@ -75,10 +75,13 @@ object Dedup {
         val par = rows.sparkSession.sparkContext.defaultParallelism
         if (m0.rdd.getNumPartitions < par) m0.repartition(par) else m0
       } else m0
-    // sizing reads the un-spread blocks (partial agg needs no width)
+    // sizing reads the un-spread blocks (partial agg needs no width); the
+    // bad-bucket list stays LAZY — the audit folds it in one job here and
+    // each anti-join branch re-derives it from the materialized blocks
+    // (a tiny aggregation; an eager checkpoint of it cost a whole extra
+    // job per capped operator call)
     val bad = m0.groupBy(keys: _*).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > cap)
-      .localCheckpoint(true)
     val d = bad.agg(count(lit(1)).as("b"),
       coalesce(sum("bsz"), lit(0L)).as("r")).head()
     val drops = CapDrops(d.getLong(0), d.getLong(1))
@@ -347,9 +350,10 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: String,
       idCol: String, shingleSize: Int = 3): DataFrame = {
-    val ids = pairs.select(col("idA").as("_jid"))
-      .union(pairs.select(col("idB").as("_jid")))
-      .distinct()
+    // one explode pass instead of a two-branch union (the union read the
+    // pair table twice)
+    val ids = pairs
+      .select(explode(array(col("idA"), col("idB"))).as("_jid")).distinct()
     val sh = df.select(col(idCol).as("_jid"),
         shingles(col(textCol), shingleSize).as("_jsh"))
       .join(ids, Seq("_jid"), "left_semi")
@@ -703,12 +707,15 @@ object Dedup {
       .select("idA", "idB")
     // verify joins read only candidate docs' shingle sets: semi-prune the
     // (checkpointed, corpus-wide) sets table down to pair ids first so the
-    // two joins shuffle candidate-bounded data, not the corpus
+    // two joins shuffle candidate-bounded data, not the corpus. The pair
+    // ids come from ONE explode pass over the materialized candidates, and
+    // the pruned table stays lazy — each verify branch re-runs only a
+    // broadcast semi-join over the already-checkpointed shingle blocks
+    // (an eager checkpoint of it cost a whole extra job)
     val candM = cand.localCheckpoint(true)
-    val ids = candM.select(col("idA").as("_id"))
-      .union(candM.select(col("idB").as("_id"))).distinct()
+    val ids = candM
+      .select(explode(array(col("idA"), col("idB"))).as("_id")).distinct()
     val pruned = sets.join(ids, Seq("_id"), "left_semi")
-      .localCheckpoint(true)
     val sa = pruned.select(col("_id").as("idA"), col("sh").as("sa"))
     val sb = pruned.select(col("_id").as("idB"), col("sh").as("sb"))
     candM.join(sa, "idA").join(sb, "idB")
