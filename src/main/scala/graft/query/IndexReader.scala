@@ -267,16 +267,22 @@ final class IndexReader private (
     }
   }
 
-  /** In-process scatter-gather: one WAND pass per salt task, sequential
-    * (tasks are independent; parallelize across a thread pool if single-query
-    * latency over many salts ever dominates).
+  /** In-process scatter-gather: one WAND pass per salt task. Tasks own
+    * DISJOINT docId sets (`mix64(docId) & (sQ-1)`) and are pure CPU, so a
+    * hot-term query (numSalts up to 16) fans out across the JVM common
+    * pool instead of running its passes sequentially — this was the
+    * latency long-pole: every query touching a salted term paid saltFanout
+    * serial WAND passes while the other driver cores idled. The canonical
+    * (-score, docId) merge makes the result independent of execution
+    * order, so parallelism cannot change the answer (EngineSpec pins
+    * cross-tier bit-equality).
     */
   private def searchLocal(m: Map[(String, Int), Seq[SegShard]],
       rq: Searcher.ResolvedQuery, k: Int): Array[Hit] = {
     val sQ = rq.saltFanout
     val n = meta.numDocs
     val idf = rq.terms.map(t => t.term -> bm25.idf(t.df, n)).toMap
-    val all = (0 until sQ).flatMap { task =>
+    def runTask(task: Int): Seq[Hit] = {
       // one shard per generation per (term, salt): generations hold
       // disjoint docId ranges, so WAND treats them as extra lists safely
       val shards = rq.terms.flatMap { t =>
@@ -287,6 +293,15 @@ final class IndexReader private (
         if (sQ == 1) _ => true else d => Hashing.saltOf(d, sQ) == task
       Wand.topK(shards, k, bm25, owns, meta.avgDocLen)
     }
+    val all: Seq[Hit] =
+      if (sQ == 1) runTask(0)
+      else {
+        import scala.jdk.CollectionConverters._
+        java.util.stream.IntStream.range(0, sQ).parallel()
+          .mapToObj(task => runTask(task))
+          .collect(java.util.stream.Collectors.toList[Seq[Hit]])
+          .asScala.toSeq.flatten
+      }
     all.sortBy(h => (-h.score, h.docId)).take(k).toArray
   }
 
