@@ -1033,32 +1033,43 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     requireIntegralId(pairs, idACol, "connectedComponents")
     requireIntegralId(pairs, idBCol, "connectedComponents")
-    // materialize the pair list once BEFORE mirroring it: the union reads
-    // `pairs` from two plan branches, and the caller's whole
-    // pair-generation pipeline (blocking join + verify) would run twice
-    val p = pairs
+    // ONE eager materialization covers the caller's pair pipeline AND the
+    // mirrored edge list: explode emits both directions in a single pass
+    // (the former p.union(p.swap) read the pair plan from two branches and
+    // so needed pairs checkpointed separately first — two jobs, two
+    // materialized copies). No distinct: min() is duplicate-insensitive.
+    // The explicit hash partitioning on dst is PRESERVED by the checkpoint
+    // (LogicalRDD keeps the physical plan's outputPartitioning), so every
+    // round's neighbor join reads the — at scale, large — edge table in
+    // place and only the label table moves: the per-round edge re-shuffle
+    // this loop used to pay is replaced by one shuffle at build time
+    // (guide §2.4, keyed operations share one exchange).
+    val edges = pairs
       .select(col(idACol).cast("long").as("src"),
         col(idBCol).cast("long").as("dst"))
-      .localCheckpoint(true)
-    // no distinct: min() aggregation is duplicate-insensitive, so repeated
-    // pairs cost join fan-out only (pair generators already dedup) — the
-    // distinct was a full extra exchange + materialization per call
-    val edges = p
-      .union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     // seed labels with round 1's neighbor-min for free: one aggregation
     // over the edge list replaces BOTH the distinct-ids materialization
     // and the first loop round's three joins (label(v) = min(v, min
     // neighbor) is exactly what round 1 would compute from identity
     // labels); the min-label fixpoint is unique, so seeding cannot change
-    // the result, only the round count
+    // the result, only the round count. The groupBy(src) output is
+    // hash-partitioned on id after the alias (alias-aware partitioning),
+    // so the first round's label-side joins start co-partitioned.
     var labels = edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && iter < maxIter) {
+      val tRound = System.nanoTime()
       // (a) neighbor-min: the smallest label among me and my neighbors
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -1069,21 +1080,33 @@ object Dedup {
       val propagated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // (b) pointer jump: label := label(label) — compresses chains so a
-      // long path converges logarithmically. The jump table reads the
+      // (b) pointer jump: label := label(label) — compresses label chains
+      // so a long path converges logarithmically. The jump table reads the
       // POST-neighbor-min labels (propagated), not the round's input:
-      // fresher pointers contract strictly further per round (one round
-      // fewer on the SemDeDup chain graphs), and any intermediate label
-      // state reaches the same unique min-label fixpoint
+      // fresher pointers contract strictly further per round, and any
+      // intermediate label state reaches the same unique min-label
+      // fixpoint. (A second jump per round was measured on the real
+      // SemDeDup graphs: round count stayed at 6 — their decay is limited
+      // by plateau-rooted neighbor-min propagation, not pointer chains —
+      // so the extra label-keyed self-join was pure cost and is not done.)
       val byLabel = propagated
         .select(col("id").as("label"), col("label").as("jump"))
       val next = propagated.join(byLabel, Seq("label"), "left")
         .select(col("id"), col("prev"),
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        // labels leave each round hash-partitioned on id (preserved by the
+        // checkpoint): the next round's neighbor join (id renamed dst) and
+        // propagated join both start co-partitioned — the rename is alias-
+        // aware, so neither re-shuffles the label table
+        .repartition(col("id"))
         .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("label"))
       iter += 1
+      if (ccDebug) {
+        val changed = next.filter(col("label") =!= col("prev")).count()
+        println(f"[cc] round $iter ${(System.nanoTime() - tRound) / 1e9}%.3f s converged=$converged changed=$changed")
+      }
     }
     labels
   }
