@@ -74,8 +74,10 @@ object CurateCli {
     // word-frequency table (one aggregation), then the trained token
     // count — the number a data-budget plan actually needs
     val merges = Bpe.train(train, "text", numMerges = 64)
+    // coalesce: sum over an empty split is NULL, not 0 — aggressive gates
+    // or a tiny corpus must yield a 0-token report, not a crash
     val bpeToks = Bpe.tokenCount(train, "text", merges)
-      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+      .agg(coalesce(sum(col("n_bpe_tokens")), lit(0L))).collect()(0).getLong(0)
 
     // last stdout line = the machine-readable report
     println(s"""{"in":$nIn,"kept":${bySplit.values.sum},""" +

@@ -1267,6 +1267,22 @@ class OpsSpec extends SparkTestBase {
     assert(cc2 == cc)
   }
 
+  test("connected components: duplicate/reversed pairs and a long path") {
+    // pins the single-pass mirrored-edge materialization: repeated pairs
+    // and pairs listed in either orientation must not change labels (min
+    // is duplicate-insensitive; explode emits both directions), and a
+    // 64-node path takes several propagation rounds through the
+    // partitioning-preserving checkpoints
+    val path = (100L until 163L).map(i => (i, i + 1))
+    val noisy = path ++ path.take(5) ++ // duplicates
+      Seq((20L, 10L), (10L, 20L), (20L, 10L)) // reversed + repeated
+    val cc = Dedup.connectedComponents(noisy.toDF("idA", "idB"), "idA", "idB")
+      .as[(Long, Long)].collect().toMap
+    assert((100L to 163L).forall(cc(_) == 100L))
+    assert(cc(10L) == 10L && cc(20L) == 10L)
+    assert(cc.size == 66)
+  }
+
   test("brute knn cosine: self is top hit with score 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
